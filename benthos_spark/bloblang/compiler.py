@@ -1,0 +1,481 @@
+"""Bloblang AST -> Catalyst Column compiler (the hot path).
+
+Mappings over *typed* DataFrames compile to native Spark expressions —
+whole-stage-codegen'd, zero per-row Python. Anything the compiler cannot
+express raises :class:`CompileError`, and the engine falls back to the
+Arrow-batched interpreter kernel (exact semantics, slower). This mirrors the
+reference's split between vectorizable projections and per-message closures,
+except here the fast path is the default.
+
+Deliberate deviations from interpreter semantics (documented, hot-path only):
+- ``catch``/``or`` compile to ``coalesce`` (JVM expressions yield NULL where
+  the interpreter raises recoverable errors — try_* funcs used where needed)
+- arithmetic on non-numeric strings yields NULL instead of an error
+- ``hash("xxhash64")`` is not column-compilable byte-compatibly (Spark's
+  xxhash64 is a seeded column hash, not a raw-byte digest) -> fallback
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+from pyspark.sql import Column, functions as F
+
+from .parser import (
+    ArrayLit,
+    Bin,
+    CtxExpr,
+    FieldRef,
+    Func,
+    Lit,
+    Mapping,
+    Match,
+    Method,
+    ObjectLit,
+    This,
+    Unary,
+)
+
+
+class CompileError(Exception):
+    """Raised when an AST is not expressible as a Catalyst Column."""
+
+
+class ColumnCompiler:
+    def __init__(
+        self,
+        columns: Optional[set] = None,
+        meta_col: Optional[str] = None,
+        content_col: Optional[str] = None,
+        bindings: Optional[Dict[str, Column]] = None,
+    ):
+        self.columns = columns
+        self.meta_col = meta_col
+        self.content_col = content_col
+        self.bindings = bindings or {}
+        self.vars: Dict[str, Column] = {}
+
+    def with_this(self, this: Column) -> "ColumnCompiler":
+        c = ColumnCompiler(self.columns, self.meta_col, self.content_col, dict(self.bindings))
+        c.bindings["__this__"] = this
+        c.vars = self.vars
+        return c
+
+    # ------------------------------------------------------------------
+    def compile(self, node: Any) -> Column:
+        if isinstance(node, Lit):
+            return F.lit(node.value)
+        if isinstance(node, ArrayLit):
+            return F.array(*[self.compile(x) for x in node.items])
+        if isinstance(node, ObjectLit):
+            pairs = []
+            for k, v in node.items:
+                if not isinstance(k, Lit):
+                    raise CompileError("object keys must be literals")
+                pairs.append(self.compile(v).alias(str(k.value)))
+            return F.struct(*pairs)
+        if isinstance(node, This):
+            if "__this__" in self.bindings:
+                return self.bindings["__this__"]
+            raise CompileError("bare `this` outside lambda context")
+        if isinstance(node, FieldRef):
+            return self._field(node.path)
+        if isinstance(node, Func):
+            return self._func(node)
+        if isinstance(node, Method):
+            return self._method(node)
+        if isinstance(node, CtxExpr):
+            inner = self.compile(node.recv)
+            return self.with_this(inner).compile(node.expr)
+        if isinstance(node, Match):
+            return self._match(node)
+        if isinstance(node, Bin):
+            return self._bin(node)
+        if isinstance(node, Unary):
+            v = self.compile(node.operand)
+            return -v.cast("double") if node.op == "-" else ~v
+        raise CompileError(f"cannot compile node {type(node).__name__}")
+
+    # ------------------------------------------------------------------
+    def _field(self, path) -> Column:
+        head, rest = path[0], path[1:]
+        if "__this__" in self.bindings:
+            col = self.bindings["__this__"][head]
+        elif head in self.bindings:
+            col = self.bindings[head]
+        elif self.columns is None or head in self.columns:
+            col = F.col(head)
+        else:
+            raise CompileError(f"unknown column {head}")
+        for seg in rest:
+            col = col[seg]
+        return col
+
+    def _path_col(self, dotted: str) -> Column:
+        segs = dotted.split(".")
+        if self.columns is not None and segs[0] not in self.columns:
+            raise CompileError(f"unknown column {segs[0]}")
+        col = F.col(segs[0])
+        for seg in segs[1:]:
+            col = col[seg]
+        return col
+
+    def _func(self, node: Func) -> Column:
+        name = node.name
+        if name == "json":
+            if not node.args or not isinstance(node.args[0], Lit):
+                raise CompileError("json() requires a literal path on the hot path")
+            return self._path_col(str(node.args[0].value))
+        if name == "content":
+            if self.content_col is None:
+                raise CompileError("no content column bound")
+            return F.col(self.content_col)
+        if name in ("meta", "metadata"):
+            if self.meta_col is None:
+                raise CompileError("no meta column bound")
+            if node.args and isinstance(node.args[0], Lit):
+                return F.col(self.meta_col)[str(node.args[0].value)]
+            return F.col(self.meta_col)
+        if name == "deleted":
+            raise CompileError("deleted() only supported as a match-case root value")
+        if name == "nothing":
+            raise CompileError("nothing() not column-compilable")
+        if name == "uuid_v4":
+            return F.expr("uuid()")
+        if name == "timestamp_unix":
+            return F.unix_timestamp()
+        if name == "random_int":
+            seed = node.args[0].value if node.args and isinstance(node.args[0], Lit) else 0
+            return (F.rand(int(seed)) * F.lit(float(1 << 62))).cast("long")
+        if name == "var":
+            key = str(node.args[0].value)
+            if key in self.vars:
+                return self.vars[key]
+            raise CompileError(f"variable {key} not bound")
+        raise CompileError(f"function {name} not column-compilable")
+
+    def _match(self, node: Match) -> Column:
+        ctx = self
+        operand: Optional[Column] = None
+        if node.operand is not None:
+            operand = self.compile(node.operand)
+            ctx = self.with_this(operand)
+        result: Optional[Column] = None
+        chain = []
+        for cond_ast, body_ast in node.cases:
+            body = ctx.compile(body_ast)
+            if cond_ast is None:
+                chain.append((None, body))
+                break
+            cond = ctx.compile(cond_ast)
+            if operand is not None and not _looks_boolean(cond_ast):
+                cond = operand == cond
+            chain.append((cond, body))
+        for cond, body in chain:
+            if cond is None:
+                result = body if result is None else result.otherwise(body)
+            else:
+                result = F.when(cond, body) if result is None else result.when(cond, body)
+        if result is None:
+            raise CompileError("empty match")
+        return result
+
+    def _bin(self, node: Bin) -> Column:
+        op = node.op
+        left = self.compile(node.left)
+        if op == "&&":
+            return left & self.compile(node.right)
+        if op == "||":
+            return left | self.compile(node.right)
+        if op == "|":
+            return F.coalesce(left, self.compile(node.right))
+        right = self.compile(node.right)
+        if op == "==":
+            return left == right
+        if op == "!=":
+            return left != right
+        if op in ("<", ">", "<=", ">="):
+            return {"<": left < right, ">": left > right, "<=": left <= right, ">=": left >= right}[op]
+        if op == "+":
+            if _is_string_lit(node.left) or _is_string_lit(node.right):
+                return F.concat(left.cast("string"), right.cast("string"))
+            return left.cast("double") + right.cast("double")
+        if op == "-":
+            return left.cast("double") - right.cast("double")
+        if op == "*":
+            return left.cast("double") * right.cast("double")
+        if op == "/":
+            return left.cast("double") / right.cast("double")
+        if op == "%":
+            return F.pmod(left.cast("long"), right.cast("long"))
+        raise CompileError(f"operator {op} not column-compilable")
+
+    # ------------------------------------------------------------------
+    def _method(self, node: Method) -> Column:
+        name = node.name
+
+        if name in ("catch", "or"):
+            recv = self.compile(node.recv)
+            return F.coalesce(recv, self.compile(node.args[0]))
+        if name == "from_all" or name == "from":
+            raise CompileError("batch-scoped methods need the batch window plan")
+
+        # lambda methods
+        if name in ("map_each", "filter", "sort_by", "fold"):
+            recv = self.compile(node.recv)
+            if name == "map_each":
+                return F.transform(recv, lambda x: self.with_this(x).compile(node.args[0]))
+            if name == "filter":
+                return F.filter(recv, lambda x: self.with_this(x).compile(node.args[0]))
+            if name == "sort_by":
+                raise CompileError("sort_by not column-compilable")
+            init = self.compile(node.args[0])
+            lam = node.args[1]
+
+            def merge(acc, x):
+                c = ColumnCompiler(self.columns, self.meta_col, self.content_col,
+                                   {**self.bindings, "tally": acc, "value": x})
+                c.vars = self.vars
+                return c.compile(lam)
+
+            return F.aggregate(recv, init.cast("double"), merge)
+
+        recv = self.compile(node.recv)
+        args = node.args
+
+        def lit_arg(i: int, default=None):
+            if len(args) <= i:
+                return default
+            if not isinstance(args[i], Lit):
+                raise CompileError("argument must be literal on the hot path")
+            return args[i].value
+
+        if name == "string":
+            return recv.cast("string")
+        if name == "number":
+            out = F.try_cast(recv, "double") if hasattr(F, "try_cast") else recv.cast("double")
+            if args:
+                return F.coalesce(out, self.compile(args[0]).cast("double"))
+            return out
+        if name == "bool":
+            return recv.cast("boolean")
+        if name == "not":
+            return ~recv
+        if name == "uppercase":
+            return F.upper(recv)
+        if name == "lowercase":
+            return F.lower(recv)
+        if name == "capitalize":
+            return F.initcap(recv)
+        if name == "trim":
+            if args:
+                return F.expr(f"btrim({_sql(recv)}, {_sql_lit(lit_arg(0))})")
+            return F.trim(recv)
+        if name == "split":
+            import re as _re
+
+            return F.split(recv, _re.escape(str(lit_arg(0))))
+        if name == "join":
+            return F.array_join(recv, str(lit_arg(0, "")))
+        if name == "length":
+            return F.length(recv)
+        if name == "size":
+            return F.size(recv)
+        if name == "contains":
+            return recv.contains(self.compile(args[0]))
+        if name == "has_prefix":
+            return recv.startswith(self.compile(args[0]))
+        if name == "has_suffix":
+            return recv.endswith(self.compile(args[0]))
+        if name == "replace":
+            return F.replace(recv, self.compile(args[0]), self.compile(args[1]))
+        if name == "re_match":
+            return recv.rlike(str(lit_arg(0)))
+        if name == "re_replace":
+            return F.regexp_replace(recv, str(lit_arg(0)), str(lit_arg(1)))
+        if name == "re_find_all":
+            return F.expr(f"regexp_extract_all({_sql(recv)}, {_sql_lit(lit_arg(0))}, 0)")
+        if name == "format":
+            fmt = str(lit_arg(0)) if False else None  # format is recv-side
+            raise CompileError("format not column-compilable yet")
+        if name == "slice":
+            lo = int(lit_arg(0))
+            hi = lit_arg(1)
+            if lo < 0 or (hi is not None and int(hi) < 0):
+                raise CompileError("negative slice not column-compilable")
+            if hi is None:
+                return F.substring(recv, lo + 1, 1 << 30)
+            return F.substring(recv, lo + 1, int(hi) - lo)
+        if name == "index":
+            i = int(lit_arg(0))
+            return F.element_at(recv, i + 1 if i >= 0 else i)
+        if name == "sum":
+            return F.aggregate(recv, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        if name == "flatten":
+            return F.flatten(recv)
+        if name == "sort":
+            return F.array_sort(recv)
+        if name == "unique":
+            return F.array_distinct(recv)
+        if name == "enumerated":
+            raise CompileError("enumerated not column-compilable (posexplode is a plan op)")
+        if name == "keys":
+            return F.map_keys(recv)
+        if name == "values":
+            return F.map_values(recv)
+        if name == "append":
+            return F.concat(recv, F.array(*[self.compile(a) for a in args]))
+        if name == "get":
+            col = recv
+            for seg in str(lit_arg(0)).split("."):
+                col = col[seg]
+            return col
+        if name == "exists":
+            col = recv
+            for seg in str(lit_arg(0)).split("."):
+                col = col[seg]
+            return col.isNotNull()
+        if name == "parse_json":
+            raise CompileError("parse_json needs a schema; use from_json in the plan layer")
+        if name == "strip_html":
+            return F.regexp_replace(recv, "<[^>]*>", "")
+        if name == "escape_url_query":
+            return F.expr(f"url_encode({_sql(recv)})")
+        if name == "unescape_url_query":
+            return F.expr(f"url_decode({_sql(recv)})")
+        if name == "hash":
+            alg = str(lit_arg(0))
+            if alg == "sha256":
+                return F.unhex(F.sha2(recv.cast("binary"), 256))
+            if alg == "sha512":
+                return F.unhex(F.sha2(recv.cast("binary"), 512))
+            if alg == "sha1":
+                return F.unhex(F.sha1(recv.cast("binary")))
+            if alg == "md5":
+                return F.unhex(F.md5(recv.cast("binary")))
+            raise CompileError(f"hash {alg} not column-compilable byte-compatibly")
+        if name == "encode":
+            scheme = str(lit_arg(0))
+            if scheme == "hex":
+                return F.lower(F.hex(recv.cast("binary")))
+            if scheme == "base64":
+                return F.base64(recv.cast("binary"))
+            raise CompileError(f"encoding {scheme} not column-compilable")
+        if name == "decode":
+            scheme = str(lit_arg(0))
+            if scheme == "hex":
+                return F.unhex(recv)
+            if scheme == "base64":
+                return F.unbase64(recv)
+            raise CompileError(f"encoding {scheme} not column-compilable")
+        if name == "floor":
+            return F.floor(recv.cast("double")).cast("double")
+        if name == "ceil":
+            return F.ceil(recv.cast("double")).cast("double")
+        if name == "round":
+            return F.floor(recv.cast("double") + 0.5).cast("double")
+        if name == "abs":
+            return F.abs(recv.cast("double"))
+        if name == "map":
+            return self.with_this(recv).compile(args[0])
+        if name == "merge":
+            raise CompileError("merge not column-compilable generically")
+        raise CompileError(f"method {name} not column-compilable")
+
+
+def _looks_boolean(ast: Any) -> bool:
+    if isinstance(ast, Bin) and ast.op in ("==", "!=", "<", ">", "<=", ">=", "&&", "||"):
+        return True
+    if isinstance(ast, Unary) and ast.op == "!":
+        return True
+    if isinstance(ast, Method) and ast.name in (
+        "contains", "has_prefix", "has_suffix", "re_match", "exists", "not", "bool",
+    ):
+        return True
+    if isinstance(ast, Lit) and isinstance(ast.value, bool):
+        return True
+    return False
+
+
+def _is_string_lit(ast: Any) -> bool:
+    return isinstance(ast, Lit) and isinstance(ast.value, str)
+
+
+def _sql(col: Column) -> str:
+    # Column -> SQL text for the few F.expr constructions above
+    return col._jc.toString()  # noqa: SLF001
+
+
+def _sql_lit(v: Any) -> str:
+    s = str(v).replace("'", "\\'")
+    return f"'{s}'"
+
+
+# ---------------------------------------------------------------- mapping
+class CompiledMapping:
+    """A mapping compiled to a DataFrame transform: assignments become
+    withColumn, root-level deleted() matches become filters."""
+
+    def __init__(self, transform: Callable, description: str):
+        self.transform = transform
+        self.description = description
+
+    def __call__(self, df):
+        return self.transform(df)
+
+
+def compile_mapping_to_transform(mapping: Mapping, columns: set) -> CompiledMapping:
+    """Compile a typed-mode mapping. Raises CompileError on any statement the
+    Column compiler can't express (caller falls back to the kernel path)."""
+    steps = []  # (kind, payload)
+    cc = ColumnCompiler(columns=columns)
+    current_cols = columns  # mutated in place so later stages see new columns
+    for st in mapping.statements:
+        if st.kind == "let":
+            cc.vars[st.path[0]] = cc.compile(st.expr)
+            continue
+        if st.kind == "meta":
+            raise CompileError("meta assignment not supported in typed mode")
+        if st.kind != "root":
+            raise CompileError(f"statement kind {st.kind} not compilable")
+        # root = this -> identity; root = match {cond => deleted()} -> filter
+        if not st.path:
+            if isinstance(st.expr, This):
+                continue
+            if isinstance(st.expr, Match) and all(
+                isinstance(body, Func) and body.name == "deleted"
+                for _c, body in st.expr.cases
+            ):
+                conds = [cc.compile(c) for c, _b in st.expr.cases if c is not None]
+                if not conds:
+                    raise CompileError("unconditional delete")
+                pred = conds[0]
+                for c in conds[1:]:
+                    pred = pred | c
+                steps.append(("filter", ~F.coalesce(pred, F.lit(False))))
+                continue
+            raise CompileError("whole-root reshaping not supported in typed mode")
+        if len(st.path) != 1:
+            raise CompileError("nested assignment targets not supported in typed mode")
+        name = st.path[0]
+        if isinstance(st.expr, Func) and st.expr.name == "deleted":
+            steps.append(("drop", name))
+            current_cols.discard(name)
+            continue
+        col = cc.compile(st.expr)
+        steps.append(("set", (name, col)))
+        current_cols.add(name)
+
+    def transform(df):
+        out = df
+        for kind, payload in steps:
+            if kind == "filter":
+                out = out.filter(payload)
+            elif kind == "drop":
+                out = out.drop(payload)
+            else:
+                name, col = payload
+                out = out.withColumn(name, col)
+        return out
+
+    return CompiledMapping(transform, f"{len(steps)} compiled steps")

@@ -1,0 +1,306 @@
+"""Spark execution of pipelines.
+
+Two execution surfaces over the same semantic layer:
+
+- **typed/native mode** (the hot path): processors compile to Catalyst
+  transforms over a typed DataFrame — whole-stage codegen, no Python.
+- **frame mode** (the compatibility path): a schemaless "message frame"
+  DataFrame ``(batch_id, seq, content BINARY, meta MAP<STRING,STRING>)``;
+  batches execute through the processor kernels inside Arrow-batched
+  ``applyInPandas`` groups. This is the Spark equivalent of the reference's
+  per-message closure interpretation (lib/pipeline/processor.go:84), kept
+  only for constructs that genuinely need dynamic JSON / batch-local state.
+
+Scale note: frame mode shuffles on batch_id (analogue of pipeline.threads
+parallelism, lib/pipeline/constructor.go:24-31); batch-scoped state never
+crosses a batch, so group-level parallelism is safe and skew is bounded by
+batch size, not key popularity.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from functools import lru_cache
+from typing import Any, Dict, Iterable, List, Optional
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..bloblang.compiler import ColumnCompiler, CompileError, compile_mapping_to_transform
+from ..bloblang.interp import Interpreter, Part
+from ..bloblang.parser import parse_mapping
+from .processors import Env, Resources, build_processor, execute_all
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+FRAME_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("out_batch", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+@lru_cache(maxsize=256)
+def _build_procs_cached(conf_json: str):
+    conf = _json.loads(conf_json)
+    return [build_processor(p) for p in conf]
+
+
+def _kernel(conf_json: str):
+    """Per-group kernel: one input batch -> 0..N output batches."""
+    import pandas as pd
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        procs = _build_procs_cached(conf_json)
+        env = Env(interp=Interpreter(), resources=Resources())
+        pdf = pdf.sort_values("seq")
+        batch_id = int(pdf["batch_id"].iloc[0]) if len(pdf) else 0
+        parts = [
+            Part(bytes(c) if c is not None else b"", dict(m) if m is not None else {})
+            for c, m in zip(pdf["content"], pdf["meta"])
+        ]
+        out_rows = []
+        for ob, batch in enumerate(execute_all(procs, parts, env)):
+            for seq, part in enumerate(batch):
+                out_rows.append(
+                    {
+                        "batch_id": batch_id,
+                        "out_batch": ob,
+                        "seq": seq,
+                        "content": part.content,
+                        "meta": part.meta,
+                    }
+                )
+        return pd.DataFrame(
+            out_rows, columns=["batch_id", "out_batch", "seq", "content", "meta"]
+        )
+
+    return fn
+
+
+def run_frame_pipeline(df: DataFrame, processors_conf: List[Dict[str, Any]]) -> DataFrame:
+    """Execute processor configs over a message-frame DataFrame.
+
+    Batch-scoped semantics (batch_index, from_all, group_by ordering, split)
+    hold exactly within each batch_id group. Cross-batch state (dedupe cache)
+    is scoped per group here — global dedupe is a dedicated native/streaming
+    operator (benthos_spark.streaming.dedupe)."""
+    conf_json = _json.dumps(processors_conf)
+    return df.groupBy("batch_id").applyInPandas(_kernel(conf_json), FRAME_OUT_SCHEMA)
+
+
+def frame_from_strings(spark, docs: Iterable[bytes], batch_id: int = 0) -> DataFrame:
+    rows = [
+        (batch_id, i, d if isinstance(d, bytes) else str(d).encode(), {})
+        for i, d in enumerate(docs)
+    ]
+    return spark.createDataFrame(rows, FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------- typed mode
+class NativePipeline:
+    """Compile a processor-config list into a typed DataFrame transform.
+
+    Raises CompileError if any stage is not natively expressible; the caller
+    can then route the pipeline through frame mode instead.
+    """
+
+    def __init__(self, processors_conf: List[Dict[str, Any]], columns: set):
+        self.stages = []
+        cols = set(columns)
+        for conf in processors_conf:
+            ptype, body = _split_conf(conf)
+            builder = getattr(self, f"_c_{ptype}", None)
+            if builder is None:
+                raise CompileError(f"processor {ptype} has no native compilation")
+            self.stages.append((ptype, builder(body, cols)))
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        for _name, stage in self.stages:
+            df = stage(df)
+        return df
+
+    # -- native stage builders ------------------------------------------
+    def _c_bloblang(self, body, cols):
+        mapping = parse_mapping(body if isinstance(body, str) else body.get("mapping", ""))
+        t = compile_mapping_to_transform(mapping, cols)
+        return t.transform
+
+    _c_mapping = _c_bloblang
+
+    def _c_filter_parts(self, body, cols):
+        pred = _compile_condition(body, cols)
+        return lambda df: df.filter(pred)
+
+    def _c_dedupe(self, body, cols):
+        key_src = body.get("key", "")
+        cc = ColumnCompiler(columns=cols)
+        from ..bloblang.parser import parse_interpolation
+
+        segs = parse_interpolation(key_src)
+        key_cols = []
+        for s in segs:
+            key_cols.append(F.lit(s) if isinstance(s, str) else cc.compile(s).cast("string"))
+        key = F.concat(*key_cols) if len(key_cols) > 1 else key_cols[0]
+
+        def t(df):
+            if "seq" in df.columns:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(key).orderBy(F.col("seq"))
+                return (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            return df.withColumn("__key", key).dropDuplicates(["__key"]).drop("__key")
+
+        return t
+
+    def _c_group_by_value(self, body, cols):
+        # grouping key becomes an explicit partitioning (downstream batch ops
+        # see co-located groups); the key is carried as a column
+        key_src = body.get("value", "") if isinstance(body, dict) else str(body)
+        cc = ColumnCompiler(columns=cols)
+        from ..bloblang.parser import parse_interpolation
+
+        segs = parse_interpolation(key_src)
+        key_cols = [F.lit(s) if isinstance(s, str) else cc.compile(s).cast("string") for s in segs]
+        key = F.concat(*key_cols) if len(key_cols) > 1 else key_cols[0]
+        cols.add("group_key")
+        return lambda df: df.withColumn("group_key", key).repartition(F.col("group_key"))
+
+    def _c_sample(self, body, cols):
+        retain = float(body.get("retain", 10.0)) / 100.0
+        seed = int(body.get("seed", 0))
+        return lambda df: df.sample(fraction=retain, seed=seed)
+
+    def _c_hash_sample(self, body, cols):
+        lo = float(body.get("retain_min", 0.0))
+        hi = float(body.get("retain_max", 10.0))
+        key = body.get("key_column", "content")
+        return lambda df: df.filter(
+            (F.pmod(F.xxhash64(F.col(key)), F.lit(10000)) / 100.0).between(lo, hi - 1e-9)
+        )
+
+    def _c_bounds_check(self, body, cols):
+        max_sz = int(body.get("max_part_size", 1 << 30))
+        min_sz = int(body.get("min_part_size", 1))
+        col = body.get("column", "content")
+        return lambda df: df.filter(F.length(F.col(col)).between(min_sz, max_sz))
+
+    def _c_noop(self, body, cols):
+        return lambda df: df
+
+    _c_log = _c_noop
+    _c_metric = _c_noop
+    _c_sleep = _c_noop
+    _c_rate_limit = _c_noop
+
+    def _c_switch(self, body, cols):
+        cases = []
+        for c in body:
+            cond = _compile_condition(c.get("condition", {"static": True}), cols)
+            sub = NativePipeline(c.get("processors", []), set(cols))
+            cases.append((cond, sub, bool(c.get("fallthrough", False))))
+            if c.get("fallthrough"):
+                raise CompileError("fallthrough switch not natively compiled")
+
+        def t(df):
+            outs = []
+            remaining = df
+            for cond, sub, _f in cases:
+                matched = remaining.filter(cond)
+                remaining = remaining.filter(~F.coalesce(cond, F.lit(False)))
+                outs.append(sub(matched))
+            outs.append(remaining)
+            from functools import reduce
+
+            return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), outs)
+
+        return t
+
+    def _c_conditional(self, body, cols):
+        cond = _compile_condition(body.get("condition", {"static": True}), cols)
+        then = NativePipeline(body.get("processors", []), set(cols))
+        other = NativePipeline(body.get("else_processors", []), set(cols))
+
+        def t(df):
+            a = then(df.filter(cond))
+            b = other(df.filter(~F.coalesce(cond, F.lit(False))))
+            return a.unionByName(b, allowMissingColumns=True)
+
+        return t
+
+
+def _split_conf(conf: Dict[str, Any]):
+    conf = dict(conf)
+    ptype = conf.pop("type", None)
+    if ptype is None:
+        ptype, body = next(iter(conf.items()))
+    else:
+        body = conf.get(ptype, conf)
+    return ptype, body
+
+
+def _compile_condition(conf: Any, cols: set):
+    """Compile a condition config to a boolean Column (native subset)."""
+    if isinstance(conf, str):
+        from ..bloblang.parser import parse_query
+
+        return ColumnCompiler(columns=cols).compile(parse_query(conf))
+    ctype, body = _split_conf(conf)
+    if ctype == "bloblang":
+        from ..bloblang.parser import parse_query
+
+        src = body if isinstance(body, str) else body.get("query", "")
+        return ColumnCompiler(columns=cols).compile(parse_query(src))
+    if ctype == "static":
+        return F.lit(bool(body if isinstance(body, bool) else body.get("value", False)))
+    if ctype == "text":
+        op = body.get("operator", "equals_cs")
+        arg = str(body.get("arg", ""))
+        col = F.col(body.get("column", "content")).cast("string")
+        table = {
+            "equals_cs": col == arg,
+            "contains_cs": col.contains(arg),
+            "prefix_cs": col.startswith(arg),
+            "suffix_cs": col.endswith(arg),
+            "regexp_partial": col.rlike(arg),
+        }
+        if op in table:
+            return table[op]
+        raise CompileError(f"text operator {op} not natively compiled")
+    if ctype == "not":
+        return ~_compile_condition(body, cols)
+    if ctype in ("and", "or"):
+        parts = [_compile_condition(c, cols) for c in body]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out & p) if ctype == "and" else (out | p)
+        return out
+    raise CompileError(f"condition {ctype} not natively compiled")
+
+
+def compile_or_frame(
+    df: DataFrame, processors_conf: List[Dict[str, Any]]
+) -> tuple[DataFrame, str]:
+    """Try native compilation; fall back to frame mode when the DataFrame is
+    a message frame. Returns (result, mode)."""
+    try:
+        pipe = NativePipeline(processors_conf, set(df.columns))
+        return pipe(df), "native"
+    except CompileError:
+        if set(FRAME_SCHEMA.fieldNames()).issubset(set(df.columns)):
+            return run_frame_pipeline(df, processors_conf), "frame"
+        raise

@@ -1,0 +1,114 @@
+"""Deterministic synthetic fixtures (FIXTURES.md F1/F3/F5), generated
+entirely with Catalyst expressions over ``spark.range`` — pure functions of
+(seed, row index), no driver-side row materialization, so generation itself
+scales linearly with cores and rows.
+
+The ``pages`` table matches BASELINE.json input_hint:
+(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING).
+Duplicate urls carry byte-identical text (the north-rule invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_VOCAB = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam "
+    "quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo "
+    "consequat duis aute irure in reprehenderit voluptate velit esse cillum "
+    "fugiat nulla pariatur excepteur sint occaecat cupidatat non proident sunt"
+).split()
+
+_LANGS = ["en", "en", "en", "en", "de", "de", "fr", "fr", "es", "zh"]
+
+BASE_EPOCH = 1735689600  # 2025-01-01T00:00:00Z
+
+
+def _u01(col, salt: int, seed: int):
+    """Deterministic uniform [0,1) from a column + salt (xxhash64-based)."""
+    h = F.xxhash64(col, F.lit(salt), F.lit(seed))
+    return (F.pmod(h, F.lit(1_000_000)).cast("double")) / 1_000_000.0
+
+
+def pages(
+    spark: SparkSession,
+    n_rows: int,
+    n_hosts: int = 1000,
+    dup_period: int = 50,
+    late_frac: float = 0.05,
+    late_max_s: int = 1200,
+    seed: int = 42,
+    n_partitions: int | None = None,
+    zipf_exponent: float = 3.0,
+) -> DataFrame:
+    """Common-Crawl-style pages stream fixture.
+
+    - hot-host skew: host_id = floor(n_hosts * u^zipf_exponent) concentrates
+      mass on low ids (the salting/AQE tests rely on this)
+    - ~1/dup_period of rows are exact-duplicate urls with identical text
+    - ~late_frac of rows arrive late by up to late_max_s seconds
+    """
+    df = spark.range(0, n_rows, numPartitions=n_partitions)
+    id_ = F.col("id")
+
+    # duplicates: rows where u_dup trips reuse the previous multiple-of-7 id
+    u_dup = _u01(id_, 1, seed)
+    base_id = F.when(u_dup < (1.0 / dup_period), (id_ - F.pmod(id_, F.lit(7)))).otherwise(id_)
+
+    u_host = _u01(base_id, 2, seed)
+    host_id = F.floor(F.pow(u_host, F.lit(zipf_exponent)) * n_hosts).cast("long")
+
+    # deterministic text: 8..40 vocab tokens chosen by per-position hash of base_id
+    n_tok_choices = 9  # token count = 8 + 4*(hash%9) in [8, 40]
+    tok_count = 8 + (F.pmod(F.xxhash64(base_id, F.lit(3), F.lit(seed)), F.lit(n_tok_choices)) * 4)
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    words = F.transform(
+        F.sequence(F.lit(1), tok_count.cast("int")),
+        lambda i: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(base_id, i, F.lit(seed)), F.lit(len(_VOCAB))) + 1).cast("int"),
+        ),
+    )
+    text = F.array_join(words, " ")
+
+    u_late = _u01(id_, 4, seed)
+    late_s = F.when(
+        u_late < late_frac,
+        F.pmod(F.xxhash64(id_, F.lit(5), F.lit(seed)), F.lit(late_max_s)),
+    ).otherwise(F.lit(0))
+    warc_ts = F.timestamp_seconds(F.lit(BASE_EPOCH) + id_ - late_s)
+
+    lang_arr = F.array(*[F.lit(x) for x in _LANGS])
+    lang = F.element_at(
+        lang_arr, (F.pmod(F.xxhash64(base_id, F.lit(6), F.lit(seed)), F.lit(len(_LANGS))) + 1).cast("int")
+    )
+
+    url = F.concat(
+        F.lit("https://host-"),
+        F.lpad(host_id.cast("string"), 4, "0"),
+        F.lit(".example.com/page/"),
+        F.conv(base_id.cast("string"), 10, 16),
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><body><p>"), text, F.lit("</p></body></html>")), "utf-8"
+    )
+
+    return df.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+        id_.alias("seq"),
+    )
+
+
+def enrich_side(spark: SparkSession, n_hosts: int = 1000, seed: int = 42) -> DataFrame:
+    """F5 enrichment dimension: host -> category (broadcast-join sized)."""
+    cats = F.array(F.lit("news"), F.lit("blog"), F.lit("shop"), F.lit("docs"), F.lit("forum"))
+    return spark.range(0, n_hosts).select(
+        F.concat(F.lit("host-"), F.lpad(F.col("id").cast("string"), 4, "0"), F.lit(".example.com")).alias("host"),
+        F.element_at(cats, (F.pmod(F.xxhash64("id", F.lit(7), F.lit(seed)), F.lit(5)) + 1).cast("int")).alias("category"),
+        F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("id")).alias("updated_ts"),
+    )

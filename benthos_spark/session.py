@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the engine (local test + cluster defaults)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "benthos_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build a SparkSession with the engine's defaults.
+
+    On a real cluster the master/memory knobs come from spark-submit; locally
+    we default to ``local[$SPARK_GRAFT_CPUS]``. AQE is on (skew-join handling
+    and runtime coalescing are part of the scale story), Arrow is on (all
+    Python-side kernels are Arrow-batched), timezone pinned UTC so event-time
+    windows are deterministic.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        n = cpus if master.startswith("local[") else "200"
+        try:
+            shuffle_partitions = int(master[6:-1]) if master != "local[*]" else os.cpu_count()
+        except ValueError:
+            shuffle_partitions = int(n) if str(n).isdigit() else 32
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
