@@ -1,0 +1,229 @@
+"""Streaming core tests: event-time windows, stateful TTL dedupe vs a pure
+oracle, and exactly-once replay from checkpoint (the north-rule invariant)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.fixtures import pages
+from benthos_spark.streaming import (
+    IdempotentSink,
+    dedupe_exact,
+    dedupe_ttl_reference,
+    dedupe_ttl_stateful,
+    dedupe_within_watermark,
+    keep_first_of_window,
+    pages_file_stream,
+    run_to_sink,
+    salted_host_window_agg,
+    session_host_agg,
+    tumbling_host_agg,
+    write_pages_input,
+)
+
+N = 20_000
+
+
+@pytest.fixture(scope="module")
+def input_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_in"))
+    write_pages_input(spark, d, N, n_chunks=4, n_hosts=50)
+    return d
+
+
+@pytest.mark.spark
+@pytest.mark.streaming
+class TestWindows:
+    def test_tumbling_streaming_matches_batch(self, spark, input_dir, tmp_path):
+        stream = tumbling_host_agg(
+            pages_file_stream(spark, input_dir), size="10 minutes", watermark="1 hour"
+        )
+        sink = IdempotentSink(str(tmp_path / "sink"))
+        run_to_sink(stream, sink, str(tmp_path / "ckpt"))
+        got = sink.read(spark)
+
+        batch = tumbling_host_agg(spark.read.parquet(input_dir), size="10 minutes")
+        g = {
+            (r["win_start"], r["url_host"]): (r["n_pages"], r["total_chars"])
+            for r in got.collect()
+        }
+        rows = batch.collect()
+        w = {
+            (r["win_start"], r["url_host"]): (r["n_pages"], r["total_chars"])
+            for r in rows
+        }
+        # append mode only emits windows finalized by the watermark: windows
+        # ending after (max event time - watermark) are still open state
+        import datetime
+
+        max_ts = spark.read.parquet(input_dir).agg(F.max("warc_ts")).first()[0]
+        horizon = max_ts - datetime.timedelta(hours=1)
+        w_final = {
+            (r["win_start"], r["url_host"]): (r["n_pages"], r["total_chars"])
+            for r in rows
+            if r["win_end"] <= horizon
+        }
+        # every emitted window matches the batch computation exactly
+        assert g.items() <= w.items()
+        # and every finalized window was emitted
+        assert w_final.items() <= g.items()
+        assert len(w_final) > 10
+
+    def test_session_window_batch(self, spark, input_dir):
+        out = session_host_agg(spark.read.parquet(input_dir), gap="2 minutes")
+        rows = out.collect()
+        assert rows
+        # sessions never overlap per host and gaps are respected
+        by_host = {}
+        for r in rows:
+            by_host.setdefault(r["url_host"], []).append((r["win_start"], r["win_end"]))
+        for sess in by_host.values():
+            sess.sort()
+            for (s1, e1), (s2, _e2) in zip(sess, sess[1:]):
+                assert (s2 - e1).total_seconds() >= 0
+
+    def test_salted_agg_matches_plain(self, spark, input_dir):
+        df = spark.read.parquet(input_dir)
+        plain = tumbling_host_agg(
+            df,
+            size="10 minutes",
+            aggs=[
+                F.count(F.lit(1)).alias("n_pages"),
+                F.sum(F.length("text")).alias("total_chars"),
+                F.max("warc_ts").alias("max_ts"),
+            ],
+        )
+        salted = salted_host_window_agg(df, size="10 minutes", n_salt=8)
+        p = {(r["win_start"], r["url_host"]): (r["n_pages"], r["total_chars"]) for r in plain.collect()}
+        s = {(r["win_start"], r["url_host"]): (r["n_pages"], r["total_chars"]) for r in salted.collect()}
+        assert p == s
+
+    def test_keep_first_of_window(self, spark, input_dir):
+        df = spark.read.parquet(input_dir)
+        out = keep_first_of_window(df, size="10 minutes").collect()
+        assert out
+        # each (window, host) appears once
+        keys = [(r["win_start"], r["url_host"]) for r in out]
+        assert len(keys) == len(set(keys))
+
+
+@pytest.mark.spark
+@pytest.mark.streaming
+class TestDedupe:
+    def test_streaming_dedupe_within_watermark(self, spark, input_dir, tmp_path):
+        stream = dedupe_within_watermark(
+            pages_file_stream(spark, input_dir), ["url"], watermark="10 hours"
+        )
+        sink = IdempotentSink(str(tmp_path / "sink"))
+        run_to_sink(stream, sink, str(tmp_path / "ckpt"))
+        got = sink.read(spark)
+        n_distinct = spark.read.parquet(input_dir).select("url").distinct().count()
+        assert got.count() == n_distinct
+        assert got.select("url").distinct().count() == n_distinct
+
+    def test_ttl_stateful_dedupe_matches_oracle(self, spark, input_dir, tmp_path):
+        ttl = 3600.0
+        stream = dedupe_ttl_stateful(
+            pages_file_stream(spark, input_dir),
+            ["url"],
+            ttl_seconds=ttl,
+            watermark="10 hours",
+        )
+        sink = IdempotentSink(str(tmp_path / "sink"))
+        run_to_sink(stream, sink, str(tmp_path / "ckpt"))
+        got = sorted(
+            (r["url"], r["warc_ts"]) for r in sink.read(spark).select("url", "warc_ts").collect()
+        )
+        rows = [
+            (r["url"], r["warc_ts"])
+            for r in spark.read.parquet(input_dir).select("url", "warc_ts").collect()
+        ]
+        want = sorted(
+            dedupe_ttl_reference(
+                rows, key_fn=lambda r: r[0], ts_fn=lambda r: r[1].timestamp(), ttl_seconds=ttl
+            )
+        )
+        assert got == want
+
+    def test_batch_dedupe_byte_identical_text(self, spark, input_dir):
+        df = spark.read.parquet(input_dir)
+        out = dedupe_exact(df, ["url"], order_col="seq")
+        # north-rule invariant: per url the surviving text is byte-identical
+        # to every text that url ever carried
+        joined = df.alias("a").join(out.alias("b"), "url")
+        assert joined.filter(F.col("a.text") != F.col("b.text")).count() == 0
+
+
+@pytest.mark.spark
+@pytest.mark.streaming
+class TestExactlyOnce:
+    def test_replay_from_checkpoint_no_duplicates(self, spark, tmp_path):
+        """Two-phase input: run, add data, run again with the same checkpoint.
+        Then re-run the whole stream from scratch: identical sink rows."""
+        in_dir = str(tmp_path / "in")
+        write_pages_input(spark, in_dir, 4000, n_chunks=2, n_hosts=20)
+        sink = IdempotentSink(str(tmp_path / "sink"))
+        ckpt = str(tmp_path / "ckpt")
+
+        def make_stream():
+            return dedupe_within_watermark(
+                pages_file_stream(spark, in_dir, max_files_per_trigger=1),
+                ["url"],
+                watermark="10 hours",
+            )
+
+        run_to_sink(make_stream(), sink, ckpt)
+        n1 = sink.read(spark).count()
+        # second run, same checkpoint, no new input: nothing re-emitted
+        run_to_sink(make_stream(), sink, ckpt)
+        assert sink.read(spark).count() == n1
+        # idempotent sink: replaying an already-committed batch id is a no-op
+        df = sink.read(spark).limit(5)
+        committed = sink.metrics()[0]["batch_id"]
+        sink.write_batch(df, committed)
+        assert sink.read(spark).count() == n1
+        assert n1 == spark.read.parquet(in_dir).select("url").distinct().count()
+
+    def test_kill_restart_resumes_without_loss(self, spark, tmp_path):
+        in_dir = str(tmp_path / "in")
+        write_pages_input(spark, in_dir, 4000, n_chunks=4, n_hosts=20)
+        ckpt = str(tmp_path / "ckpt")
+        sink = IdempotentSink(str(tmp_path / "sink"))
+
+        # phase 1: process only some files (maxFilesPerTrigger=1, stop early)
+        stream = dedupe_within_watermark(
+            pages_file_stream(spark, in_dir, max_files_per_trigger=1),
+            ["url"],
+            watermark="10 hours",
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink.foreach_batch())
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time as _t
+
+        while not sink.metrics():
+            _t.sleep(0.2)
+        q.stop()  # "kill"
+        q.awaitTermination()
+
+        # phase 2: restart from the same checkpoint, drain everything
+        run_to_sink(
+            dedupe_within_watermark(
+                pages_file_stream(spark, in_dir, max_files_per_trigger=1),
+                ["url"],
+                watermark="10 hours",
+            ),
+            sink,
+            ckpt,
+        )
+        got = sink.read(spark)
+        want = spark.read.parquet(in_dir).select("url").distinct().count()
+        assert got.count() == want
+        assert got.select("url").distinct().count() == want
+        # lineage columns present on every committed row
+        assert {"_batch_id", "_partition_id"}.issubset(set(got.columns))
