@@ -1,38 +1,647 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (Benthos processor semantics re-expressed Spark-first) plus the
+training-data operator suite (dedup/similarity/text analysis). Each entry has
+a DuckDB oracle in ``oracle_sql()`` computing the same result with shared
+deterministic formulas (md5-based hashing, decimal-exact sums, rounded
+ratios), so value-hash comparison is exact across engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: windowed dedupe+aggregate pipeline (the north-rule shape)
+    over the events stream table at sf0.001: dedupe key=(user_id,event_type)
+    keep-first, then 1h tumbling windows per event_type."""
+    from benthos_spark.streaming.dedupe import dedupe_exact
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    deduped = dedupe_exact(ev, ["user_id", "event_type"], order_col="event_id")
+    return (
+        deduped.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benthos operator family queries
+# --------------------------------------------------------------------------
+
+def q_bloblang_mapping(spark, sf_dir):
+    """Bloblang mapping compiled to native Catalyst columns (engine hot path)."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pipe = NativePipeline(
+        [
+            {
+                "bloblang": (
+                    "upper_head = text.slice(0, 16).uppercase()\n"
+                    "n_chars2 = text.length()\n"
+                    'is_web = source == "web"\n'
+                    "root = match {\n"
+                    "  text.length() < 60 => deleted()\n"
+                    "}"
+                )
+            }
+        ],
+        set(docs.columns),
+    )
+    return pipe(docs).select("doc_id", "upper_head", "n_chars2", "is_web")
+
+
+def q_filter_parts(spark, sf_dir):
+    from benthos_spark.engine.spark_exec import NativePipeline
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = NativePipeline(
+        [{"filter_parts": {"bloblang": 'event_type == "click" && value > 5'}}],
+        set(ev.columns),
+    )
+    return pipe(ev).select("event_id", "user_id", F.round("value", 2).alias("value"))
+
+
+def q_dedupe_first_seen(spark, sf_dir):
+    from benthos_spark.streaming.dedupe import dedupe_exact
+
+    ev = _t(spark, sf_dir, "events")
+    out = dedupe_exact(ev, ["user_id", "event_type"], order_col="event_id")
+    return out.select("user_id", "event_type", "event_id")
+
+
+def q_group_by_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_window_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.unix_timestamp("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_window_sliding(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def q_window_session(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("win.start").alias("sess_start"),
+            F.unix_timestamp("win.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def q_switch_route(spark, sf_dir):
+    from benthos_spark.engine.spark_exec import NativePipeline
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = NativePipeline(
+        [
+            {
+                "switch": [
+                    {
+                        "condition": {"bloblang": 'event_type == "error"'},
+                        "processors": [{"bloblang": 'route = "err"'}],
+                    },
+                    {
+                        "condition": {"bloblang": "value > 10"},
+                        "processors": [{"bloblang": 'route = "big"'}],
+                    },
+                    {
+                        "condition": {"static": True},
+                        "processors": [{"bloblang": 'route = "other"'}],
+                    },
+                ]
+            }
+        ],
+        set(ev.columns),
+    )
+    return pipe(ev).groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_split_rebatch(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("batch", (F.col("rn") / 10).cast("long"))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    )
+
+
+def q_archive_lines(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ordered = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.md5(F.array_join(F.transform(ordered, lambda s: s["text"]), "\n")).alias("payload_md5"),
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+def q_text_codecs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("up"),
+        F.replace(F.substring("text", 1, 24), F.lit("a"), F.lit("@")).alias("repl"),
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha"),
+        F.base64(F.encode(F.substring("text", 1, 9), "utf-8")).alias("b64"),
+    )
+
+
+def q_try_catch_error_column(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    v = F.substring("text", 1, 2).try_cast("double")
+    return (
+        docs.withColumn("error", F.when(v.isNull(), F.lit("parse_failed")))
+        .groupBy("error")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_tpch_q1_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_enrich_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+def q_bounds_check(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length("text").between(100, 400))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    )
+
+
+def q_hash_sample(spark, sf_dir):
+    from benthos_spark.ops.textprep import md5_60bit
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.pmod(md5_60bit(F.col("text")), F.lit(100)) < 20).select(
+        "doc_id", "lang"
+    )
+
+
+def q_select_parts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data operator suite
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from benthos_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from benthos_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1, n=2)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from benthos_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=16, bands=4, n=2)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from benthos_spark.ops.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def q_neardup_embedding(spark, sf_dir):
+    from benthos_spark.ops.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_ann_topk(spark, sf_dir):
+    from benthos_spark.ops.similarity import ann_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from benthos_spark.ops.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_lang_id(spark, sf_dir):
+    from benthos_spark.ops.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    from benthos_spark.ops.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    from benthos_spark.ops.textstats import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from benthos_spark.ops.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_media_features(spark, sf_dir):
+    from benthos_spark.ops.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = extract_media_features(docs, binary_col="payload", id_col="doc_id")
+    return out.select(
+        "media_id",
+        F.col("features.n_bytes").alias("n_bytes"),
+        F.col("features.head_hex").alias("head_hex"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bloblang_mapping": q_bloblang_mapping,
+        "filter_parts": q_filter_parts,
+        "dedupe_first_seen": q_dedupe_first_seen,
+        "group_by_value": q_group_by_value,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
+        "switch_route": q_switch_route,
+        "split_rebatch": q_split_rebatch,
+        "archive_lines": q_archive_lines,
+        "json_extract": q_json_extract,
+        "text_codecs": q_text_codecs,
+        "try_catch_error_column": q_try_catch_error_column,
+        "tpch_q1_agg": q_tpch_q1_agg,
+        "enrich_join": q_enrich_join,
+        "bounds_check": q_bounds_check,
+        "hash_sample": q_hash_sample,
+        "select_parts": q_select_parts,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "neardup_embedding": q_neardup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (shared deterministic formulas)
+# --------------------------------------------------------------------------
+
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _sql_tokens(c: str) -> str:
+    n = _SQL_NORM.format(c=c)
+    return f"(CASE WHEN {n} = '' THEN [] ELSE str_split({n}, ' ') END)"
+
+
+_SQL_MD5_60 = (
+    "(SELECT sum((strpos('0123456789abcdef', substring(md5({c}), d, 1)) - 1)"
+    " * (1::BIGINT << (4 * (15 - d))))::BIGINT FROM generate_series(1, 15) gs(d))"
+)
+
+_SQL_BIGRAMS = (
+    "with t as (select doc_id, " + _sql_tokens("text") + " toks from documents),\n"
+    "sh as (select distinct doc_id, s from t, "
+    "unnest([toks[i] || ' ' || toks[i+1] for i in range(1, greatest(len(toks), 1))]) u(s))"
+)
+
+_SQL_SESSION = """
+with m as (
+  select user_id, ts, event_id,
+    case when lag(ts) over w is null
+      or ts - lag(ts) over w > interval 30 minute then 1 else 0 end brk
+  from events window w as (partition by user_id order by ts, event_id)
+), s as (
+  select user_id, ts,
+    sum(brk) over (partition by user_id order by ts, event_id
+                   rows unbounded preceding) sid
+  from m
+)
+select user_id,
+  floor(epoch(min(ts)))::BIGINT as sess_start,
+  floor(epoch(max(ts) + interval 30 minute))::BIGINT as sess_end,
+  count(*) as n_events
+from s group by user_id, sid
+"""
+
+_SQL_SIMHASH = (
+    "with t as (select doc_id, unnest(" + _sql_tokens("text") + ") tok from documents),\n"
+    "th as (select doc_id, tok, " + _SQL_MD5_60.format(c="tok") + " h from t),\n"
+    "bits as (select doc_id, j, sum(((h >> j) & 1) * 2 - 1) s\n"
+    "  from th, generate_series(0, 15) gs(j) group by doc_id, j)\n"
+    "select doc_id as id, sum(case when s > 0 then (1::BIGINT << j) else 0 end)::BIGINT as simhash\n"
+    "from bits group by doc_id"
+)
+
+_SQL_COS = (
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+    " x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql = {}
+    sql["bloblang_mapping"] = """
+        select doc_id, upper(substring(text, 1, 16)) as upper_head,
+               length(text) as n_chars2, (source = 'web') as is_web
+        from documents where length(text) >= 60
     """
-    return {}
+    sql["filter_parts"] = """
+        select event_id, user_id, round(value, 2) as value
+        from events where event_type = 'click' and value > 5
+    """
+    sql["dedupe_first_seen"] = """
+        select user_id, event_type, min(event_id) as event_id
+        from events group by user_id, event_type
+    """
+    sql["group_by_value"] = """
+        select event_type, count(*) as n,
+               sum(value::DECIMAL(18,2))::DOUBLE as sum_value
+        from events group by event_type
+    """
+    sql["window_tumbling"] = """
+        select epoch(date_trunc('hour', ts))::BIGINT as win_start, event_type,
+               count(*) as n, sum(value::DECIMAL(18,2))::DOUBLE as sum_value
+        from events group by 1, 2
+    """
+    sql["window_sliding"] = """
+        select epoch(date_trunc('hour', ts) - k * interval 1 hour)::BIGINT as win_start,
+               event_type, count(*) as n
+        from events, unnest([0, 1]) u(k)
+        group by 1, 2
+    """
+    sql["window_session"] = _SQL_SESSION
+    sql["switch_route"] = """
+        select case when event_type = 'error' then 'err'
+                    when value > 10 then 'big'
+                    else 'other' end as route, count(*) as n
+        from events group by 1
+    """
+    sql["split_rebatch"] = """
+        with r as (select doc_id, row_number() over (order by doc_id) - 1 as rn
+                   from documents)
+        select rn // 10 as batch, count(*) as n, min(doc_id) as lo, max(doc_id) as hi
+        from r group by 1
+    """
+    sql["archive_lines"] = """
+        select lang, count(*) as n,
+               md5(string_agg(text, chr(10) order by doc_id)) as payload_md5
+        from documents group by lang
+    """
+    sql["json_extract"] = """
+        select event_id, json_extract_string(props, '$.k')::INT as k from events
+    """
+    sql["text_codecs"] = """
+        select doc_id,
+               upper(substring(text, 1, 12)) as up,
+               replace(substring(text, 1, 24), 'a', '@') as repl,
+               md5(text) as h_md5,
+               sha256(text) as h_sha,
+               to_base64(substring(text, 1, 9)::BLOB) as b64
+        from documents
+    """
+    sql["try_catch_error_column"] = """
+        select case when try_cast(substring(text, 1, 2) as double) is null
+                    then 'parse_failed' end as error, count(*) as n
+        from documents group by 1
+    """
+    sql["tpch_q1_agg"] = """
+        select l_returnflag, l_linestatus,
+               sum(l_quantity::DECIMAL(18,2))::DOUBLE as sum_qty,
+               sum(l_extendedprice::DECIMAL(18,2))::DOUBLE as sum_base_price,
+               count(*) as count_order
+        from lineitem
+        where l_shipdate <= timestamp '1998-09-02 00:00:00'
+        group by l_returnflag, l_linestatus
+    """
+    sql["enrich_join"] = """
+        select r_name, count(*) as n_cust,
+               sum(c_acctbal::DECIMAL(18,2))::DOUBLE as sum_bal
+        from customer
+        join nation on c_nationkey = n_nationkey
+        join region on n_regionkey = r_regionkey
+        group by r_name
+    """
+    sql["bounds_check"] = """
+        select lang, count(*) as n, min(doc_id) as lo, max(doc_id) as hi
+        from documents where length(text) between 100 and 400
+        group by lang
+    """
+    sql["hash_sample"] = (
+        "select doc_id, lang from documents where ("
+        + _SQL_MD5_60.format(c="text")
+        + ") % 100 < 20"
+    )
+    sql["select_parts"] = """
+        with r as (select lang, doc_id,
+                     row_number() over (partition by lang order by doc_id) as rk
+                   from documents)
+        select lang, doc_id, rk from r where rk <= 3
+    """
+    sql["dedup_exact"] = (
+        "select md5(" + _SQL_NORM.format(c="text") + ") as text_hash,"
+        " min(doc_id) as keep_id, count(*) as n_dups from documents group by 1"
+    )
+    sql["dedup_ngram_jaccard"] = (
+        _SQL_BIGRAMS
+        + """,
+        sz as (select doc_id, count(*) sz from sh group by 1),
+        inter as (select a.doc_id ia, b.doc_id ib, count(*) n
+                  from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+                  group by 1, 2)
+        select ia as id_a, ib as id_b,
+               round(n::DOUBLE / (x.sz + y.sz - n), 4) as jac
+        from inter join sz x on x.doc_id = ia join sz y on y.doc_id = ib
+        where round(n::DOUBLE / (x.sz + y.sz - n), 4) >= 0.1
+        """
+    )
+    sql["dedup_minhash_lsh"] = (
+        _SQL_BIGRAMS
+        + """,
+        hs as (select doc_id, h, min(md5(h::VARCHAR || '|' || s)) sig
+               from sh, generate_series(0, 15) g(h) group by doc_id, h),
+        band as (select doc_id, h // 4 as band,
+                   md5(string_agg(h::VARCHAR || ':' || sig, ','
+                       order by h::VARCHAR || ':' || sig)) as band_key
+                 from hs group by doc_id, h // 4)
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from band a join band b
+          on a.band = b.band and a.band_key = b.band_key and a.doc_id < b.doc_id
+        """
+    )
+    sql["dedup_simhash"] = _SQL_SIMHASH
+    sql["neardup_embedding"] = (
+        "select a.vec_id as id_a, b.vec_id as id_b, round(" + _SQL_COS + ", 4) as cos\n"
+        "from embeddings a join embeddings b on a.vec_id < b.vec_id\n"
+        "where round(" + _SQL_COS + ", 4) >= 0.35"
+    )
+    sql["ann_topk"] = (
+        "with q as (select vec_id, embedding from embeddings where vec_id < 10),\n"
+        "scored as (select q.vec_id q_id, b.vec_id n_id, round(" + _SQL_COS.replace("a.embedding", "q.embedding").replace("a.vec_id", "q.vec_id") + ", 4) cos\n"
+        "  from q, embeddings b where b.vec_id != q.vec_id),\n"
+        "rk as (select q_id, n_id, cos,\n"
+        "  row_number() over (partition by q_id order by cos desc, n_id asc) rk from scored)\n"
+        "select q_id, n_id, cos, rk from rk where rk <= 5"
+    )
+    sql["lang_id"] = """
+        with t as (select doc_id, {toks} toks from documents),
+        h as (select doc_id,
+          len(list_filter(toks, x -> list_contains(['der','die','und','das','nicht','ist'], x))) hits_de,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is'], x))) hits_en,
+          len(list_filter(toks, x -> list_contains(['el','los','de','la','que','es'], x))) hits_es,
+          len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est'], x))) hits_fr
+          from t)
+        select doc_id,
+          case when greatest(hits_de, hits_en, hits_es, hits_fr) = 0 then 'und'
+               when hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) then 'de'
+               when hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) then 'en'
+               when hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) then 'es'
+               else 'fr' end as lang_guess,
+          greatest(hits_de, hits_en, hits_es, hits_fr) as n_hits
+        from h
+    """.replace("{toks}", _sql_tokens("text"))
+    sql["quality_score"] = """
+        with b as (
+          select doc_id, text is not null as has_text, length(text) as n_chars,
+            length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) as alpha,
+            {toks} as toks
+          from documents
+        ), c as (
+          select doc_id, has_text, n_chars,
+            case when n_chars > 0 then alpha::DOUBLE / n_chars else 0.0 end as ar,
+            case when len(toks) > 0 then
+              len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is'], x)))::DOUBLE / len(toks)
+            else 0.0 end as sr,
+            least(n_chars::DOUBLE / 500.0, 1.0) as ls
+          from b
+        )
+        select doc_id, has_text, n_chars, round(ar, 4) as alpha_ratio,
+               round(0.4 * ls + 0.3 * ar + 0.3 * least(sr * 5, 1.0), 4) as quality
+        from c
+    """.replace("{toks}", _sql_tokens("text"))
+    sql["token_count"] = (
+        "select doc_id, len(" + _sql_tokens("text") + ") as n_tokens from documents"
+    )
+    sql["fingerprint"] = (
+        "select doc_id, substring(md5(" + _SQL_NORM.format(c="text") + "), 1, 16) as fp"
+        " from documents"
+    )
+    sql["media_features"] = """
+        select doc_id::VARCHAR as media_id,
+               octet_length(encode(text)) as n_bytes,
+               lower(hex(encode(substring(text, 1, 8)))) as head_hex
+        from documents
+    """
+    # ann_lsh: approximate by construction -> rows-only check (no oracle)
+    return sql

@@ -1,0 +1,169 @@
+"""Deduplication suite for training-data pipelines — all native Catalyst.
+
+Five strategies, each a ``queries()`` entry with a DuckDB oracle:
+- exact: hash-groupBy on normalized text, keep min id. One shuffle.
+- n-gram Jaccard: exact pairwise similarity via shingle inverted index
+  (explode -> self-join -> count). The exact-but-quadratic baseline.
+- MinHash + LSH: signature = per-hash min over shingle digests, banded;
+  candidate pairs share a band. The 100 TB path: cost is O(docs x bands),
+  never all-pairs. Deterministic (md5-based), so SQL-oracle-checkable.
+- SimHash: 60-bit fingerprint, near-dups = small hamming distance.
+- embedding cosine: see ops.similarity.
+
+Scale notes: every join here is an equi-join on a hash/band key -> shuffle
+hash join, AQE-skew-splittable; no operator materializes the O(n^2) pair
+space except the explicitly-exact Jaccard baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textprep import md5_60bit, norm_text, shingles, tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per identical normalized text."""
+    h = F.md5(norm_text(F.col(text_col))).alias("text_hash")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (inverted-index join).
+
+    |A∩B| from the shingle join, |A∪B| = |A|+|B|-|A∩B|. Emits (a, b, jac)
+    with a < b and jaccard >= threshold, jac rounded for cross-engine hash
+    stability."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
+        .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
+        .withColumn("jac", F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4))
+        .filter(F.col("jac") >= threshold)
+        .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"), "jac")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature: element h (0..k-1) = min over shingles of
+    md5(h || '|' || shingle). Lexicographic min over hex digests — identical
+    in any engine with md5. Returns (id, h, sig)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    hs = sh.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("h"),
+        F.col("s"),
+    )
+    return (
+        hs.withColumn("d", F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("s"))))
+        .groupBy("id", "h")
+        .agg(F.min("d").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: k/bands rows per band, band key = md5 of the
+    concatenated band slice; docs sharing any band key pair up. Output
+    (id_a, id_b) distinct, id_a < id_b."""
+    r = k // bands
+    sig = minhash_signatures(docs, k=k, n=n, text_col=text_col, id_col=id_col)
+    band = (
+        sig.withColumn("band", (F.col("h") / r).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", F.col("h").cast("string"), F.col("sig")))))).alias("band_key"))
+    )
+    a, b = band.alias("a"), band.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint over token 60-bit md5 hashes (top ``bits`` bits).
+
+    bit_j(doc) = 1 iff sum over token occurrences of (2*bit_j(token)-1) > 0.
+    Emits (id, simhash LONG). Deterministic and SQL-oracle-checkable."""
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("th", md5_60bit(F.col("t")))
+    bitrows = tok.select(
+        "id",
+        "th",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).select("id", "j", F.expr("(shiftright(th, j) & 1) * 2 - 1").alias("sgn"))
+    return (
+        bitrows.groupBy("id", "j")
+        .agg(F.sum("sgn").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("id")
+        .agg(F.sum(F.expr("shiftleft(cast(bit as bigint), j)")).alias("simhash"))
+    )
+
+
+def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2, **kw) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance; banded to avoid the full
+    cross product (two halves: a pair within distance d<=2 shares at least
+    one exact half — pigeonhole)."""
+    sh = simhash(docs, bits=bits, **kw)
+    half = bits // 2
+    lo = F.col("simhash").bitwiseAND(F.lit((1 << half) - 1))
+    hi = F.shiftright(F.col("simhash"), half)
+    banded = sh.select("id", "simhash", lo.alias("b0"), hi.alias("b1"))
+    pairs = None
+    for part in ("b0", "b1"):
+        a, b = banded.alias("a"), banded.alias("b")
+        p = a.join(
+            b, (F.col(f"a.{part}") == F.col(f"b.{part}")) & (F.col("a.id") < F.col("b.id"))
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,115 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``BINARY`` columns with typed metadata, processed
+by Arrow-batched ``mapInPandas`` kernels. The decode step itself is STUBBED
+(no imaging/audio libraries in this environment — see ``set_decoder``);
+everything Spark-side is real and tested: schema contract, batch shape,
+partition sizing, and a deterministic fallback featurizer so pipelines and
+tests run end-to-end.
+
+Design for 100 TB: media bytes never pass through a shuffle — featurization
+is a narrow map over the scan, and only the (small) feature struct flows
+downstream. ``repartition_for_media`` bounds batch memory by rows-per-batch
+instead of bytes-per-partition.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("head_hex", T.StringType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+# pluggable real decoder: fn(payload: bytes) -> dict matching MEDIA_FEATURE_SCHEMA
+_DECODER: Optional[Callable[[bytes], dict]] = None
+
+
+def set_decoder(fn: Optional[Callable[[bytes], dict]]) -> None:
+    global _DECODER
+    _DECODER = fn
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in featurizer (REAL decode needs an imaging lib:
+    plug one in via set_decoder; raising path covered by decode_strict)."""
+    import math
+    from collections import Counter
+
+    n = len(payload)
+    counts = Counter(payload[:4096])
+    total = sum(counts.values()) or 1
+    ent = -sum((c / total) * math.log2(c / total) for c in counts.values())
+    return {
+        "n_bytes": n,
+        "head_hex": payload[:8].hex(),
+        "byte_entropy": round(ent, 4),
+        "decoder": "fake",
+    }
+
+
+def decode_strict(payload: bytes) -> dict:
+    """The honest stub: a real image/audio decode is not available here."""
+    raise NotImplementedError(
+        "media decoding requires an imaging/audio library not present in "
+        "this environment; register one with set_decoder()"
+    )
+
+
+def extract_media_features(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "url",
+    batch_rows: int = 256,
+) -> DataFrame:
+    """mapInPandas featurizer over a binary column.
+
+    Emits (id, features struct). Arrow batch size bounded via
+    spark.sql.execution.arrow.maxRecordsPerBatch semantics by chunking
+    inside the kernel — media rows are large, so the per-batch row cap (not
+    Spark's default 10k) is the memory contract."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("features", MEDIA_FEATURE_SCHEMA),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _DECODER or _fake_decode
+        for pdf in it:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                feats = [decoder(bytes(b)) for b in chunk[binary_col]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk[id_col].astype(str).tolist(),
+                        "features": feats,
+                    }
+                )
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
+
+
+def repartition_for_media(df: DataFrame, rows_per_partition: int, total_rows: int) -> DataFrame:
+    """Size partitions by row count (media rows are fat; default byte-based
+    splits under-partition them)."""
+    n = max(1, total_rows // max(1, rows_per_partition))
+    return df.repartition(n)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "url") -> DataFrame:
+    """Video frame-sampling *plan* shape: one row per sampled frame index.
+    The actual frame decode is the stubbed step; index fan-out is native."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(every_n - 1))).alias("frame_idx"),
+    )

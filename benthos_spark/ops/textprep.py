@@ -1,0 +1,65 @@
+"""Shared text-preparation expressions (pure Catalyst, no UDF).
+
+Every formula here is deliberately expressible in both Spark SQL and ANSI
+SQL (DuckDB) so each operator ships with an exact cross-engine oracle:
+- tokens: lowercase, strip non-alnum to space, split on whitespace
+- 60-bit token hash: polynomial value of the first 15 hex digits of md5
+  (md5 is the one digest both engines share bit-for-bit)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+NORM_RE = "[^a-z0-9 ]"
+
+
+def norm_text(col) -> Column:
+    c = F.lower(col)
+    c = F.regexp_replace(c, NORM_RE, " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of normalized text; empty text -> empty array."""
+    n = norm_text(col)
+    return F.when(n == "", F.array().cast("array<string>")).otherwise(F.split(n, " "))
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the MinHash/Jaccard unit."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    return F.array_distinct(sh)
+
+
+def md5_60bit(col) -> Column:
+    """First 15 hex digits of md5 as a 60-bit LONG (identical in DuckDB via
+    the same polynomial over hex digits)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# the matching DuckDB SQL fragments (formatted with the column expression)
+SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+SQL_TOKENS = (
+    "CASE WHEN " + SQL_NORM + " = '' THEN [] "
+    "ELSE str_split(" + SQL_NORM + ", ' ') END"
+)
+
+
+def sql_md5_60bit(expr: str) -> str:
+    """DuckDB: polynomial over the first 15 hex digits of md5({expr})."""
+    return (
+        "(SELECT sum((strpos('0123456789abcdef', substring(md5("
+        + expr
+        + "), d, 1)) - 1) * (1::BIGINT << (4 * (15 - d))))::BIGINT "
+        "FROM generate_series(1, 15) gs(d))"
+    )

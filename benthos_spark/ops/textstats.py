@@ -1,0 +1,73 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. Pure Catalyst expressions with exact SQL oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textprep import norm_text, tokens
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "los", "de", "la", "que", "es"],
+}
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+
+
+def _count_hits(toks, words):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language guess; deterministic tie-break by language
+    code order, 'und' (undetermined) when no stopword hits at all."""
+    toks = tokens(F.col(text_col))
+    hit_cols = [
+        _count_hits(toks, ws).alias(f"hits_{lang}") for lang, ws in sorted(STOPWORDS.items())
+    ]
+    scored = docs.select(F.col(id_col), *hit_cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    guess = F.when(best == 0, F.lit("und"))
+    for l in langs:
+        guess = guess.when(F.col(f"hits_{l}") == best, F.lit(l))
+    return scored.select(F.col(id_col), guess.alias("lang_guess"), best.alias("n_hits"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality in [0,1]: length saturation + alpha ratio +
+    stopword ratio (Gopher/C4-style signals, re-derived)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    toks = tokens(t)
+    n_toks = F.size(toks)
+    en_hits = _count_hits(toks, STOPWORDS["en"])
+    len_score = F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
+    alpha_ratio = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_toks > 0, en_hits.cast("double") / n_toks).otherwise(0.0)
+    score = F.round(0.4 * len_score + 0.3 * alpha_ratio + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)), 4)
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col).isNotNull().alias("has_text"),
+        n_chars.alias("n_chars"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+    Dedupe-stable across formatting differences."""
+    return docs.select(
+        F.col(id_col),
+        F.substring(F.md5(norm_text(F.col(text_col))), 1, 16).alias("fp"),
+    )
