@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": docs_per_sec, "unit": ..., "queries": {...}, "sf": ...}
+
+The headline metric is sustained docs/sec through the flagship windowed
+dedupe+aggregate pages pipeline (BASELINE.md row 1): deterministic synthetic
+pages (seeded, FIXTURES.md F1) -> host mapping -> exact dedupe on url ->
+salted tumbling-window aggregate, forced to full execution with the noop
+sink. Scaling evidence across parallelism levels is produced by
+scripts/scaling_bench.py (writes BENCH.md).
+
+Usage: python bench.py [--flagship-only] [--rows N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _pages_rows_for_sf(sf_dir: str) -> int:
+    # sf0.1 ~= 600k lineitem rows; flagship pages sized to 2M rows at sf0.1
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    return max(100_000, int(sf * 20_000_000))
+
+
+def force(df) -> int:
+    """Force full execution; returns row count of the result."""
+    return df.count()
+
+
+def flagship_pages_pipeline(spark, n_rows: int):
+    """mapping -> exact dedupe -> tumbling window agg per host (see
+    benthos_spark.pipelines for the plan discipline notes)."""
+    from benthos_spark.fixtures import pages
+    from benthos_spark.pipelines import pages_windowed_dedupe_agg
+
+    df = pages(spark, n_rows, n_hosts=1000, rows_per_sec=100)
+    return pages_windowed_dedupe_agg(df, window_size="10 minutes", hash_key=True)
+
+
+HEADLINE = [
+    "window_tumbling",
+    "window_session",
+    "window_sliding",
+    "dedupe_first_seen",
+    "group_by_value",
+    "switch_route",
+    "tpch_q1_agg",
+    "enrich_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "token_count",
+    "quality_score",
+    "ann_topk",
+    "fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    flagship_only = "--flagship-only" in sys.argv
+    n_rows = _pages_rows_for_sf(sf_dir)
+    if "--rows" in sys.argv:
+        n_rows = int(sys.argv[sys.argv.index("--rows") + 1])
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+
+    from benthos_spark.session import get_spark
+
+    spark = get_spark(app_name="benthos_spark_bench")
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen once with a tiny run (not timed)
+    force(flagship_pages_pipeline(spark, 10_000))
+
+    flagship_sec = float("inf")  # best-of-N: the machine is shared/noisy
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        force(flagship_pages_pipeline(spark, n_rows))
+        flagship_sec = min(flagship_sec, time.perf_counter() - t0)
+    timings["flagship_pages_pipeline"] = round(flagship_sec, 3)
+    docs_per_sec = n_rows / flagship_sec
+
+    if not flagship_only:
+        import __spark_entry__ as entry_mod
+
+        queries = entry_mod.queries()
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "flagship_docs_per_sec",
+        "value": round(docs_per_sec, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "flagship_rows": n_rows,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""YAML pipeline spec -> executable Spark plan.
+
+The reference's top-level config is input -> buffer -> pipeline -> output
+(/root/reference/lib/stream/type.go:21-35, config lifecycle
+lib/config/config.go:177, service lifecycle SURVEY.md §3.1). Here the same
+spec compiles to a DataFrame plan: sources become ``spark.read`` /
+``readStream``, processors compile natively (falling back to Arrow-batched
+kernels for frame-shaped data), outputs become writers or the idempotent
+streaming sink. There is no buffer layer — micro-batch scheduling +
+checkpointing subsumes it (SURVEY.md §1.1).
+
+Supported spec:
+
+    input:
+      parquet: {path: ...}                  # batch table scan
+      stream:  {path: ..., max_files_per_trigger: N}   # file stream
+      generate: {rows: N, fixture: pages, ...}         # deterministic fixture
+      inline:  {rows: [...], schema: ...}   # tests
+    pipeline:
+      processors: [ {bloblang: ...}, {dedupe: {...}}, ... ]
+    output:
+      parquet: {path: ..., mode: overwrite}
+      sink:    {path: ..., checkpoint: ...} # idempotent exactly-once sink
+      memory:  {}                           # return the DataFrame
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Union
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+
+from ..bloblang.compiler import CompileError
+from .spark_exec import FRAME_SCHEMA, NativePipeline, run_frame_pipeline
+
+
+class Stream:
+    """A compiled pipeline: bound source, transform, and output."""
+
+    def __init__(self, spark: SparkSession, spec: Dict[str, Any]):
+        self.spark = spark
+        self.spec = spec
+        self.df = self._build_input(spec.get("input", {}))
+        procs = (spec.get("pipeline") or {}).get("processors", []) or []
+        self.mode = "native"
+        if procs:
+            try:
+                pipe = NativePipeline(procs, set(self.df.columns))
+                self.df = pipe(self.df)
+            except CompileError:
+                if not set(FRAME_SCHEMA.fieldNames()).issubset(self.df.columns):
+                    raise
+                self.df = run_frame_pipeline(self.df, procs)
+                self.mode = "frame"
+
+    # ------------------------------------------------------------------
+    def _build_input(self, conf: Dict[str, Any]) -> DataFrame:
+        if not conf:
+            raise ValueError("spec has no input")
+        kind, body = next(iter(conf.items()))
+        body = body or {}
+        if kind == "parquet":
+            return self.spark.read.parquet(body["path"])
+        if kind == "stream":
+            from ..streaming.source import pages_file_stream
+
+            fmt = body.get("format", "parquet")
+            if fmt != "parquet":
+                raise ValueError(f"stream format {fmt} not supported")
+            schema = body.get("schema")
+            if schema:
+                r = self.spark.readStream.schema(schema)
+                if body.get("max_files_per_trigger"):
+                    r = r.option("maxFilesPerTrigger", body["max_files_per_trigger"])
+                return r.parquet(body["path"])
+            return pages_file_stream(
+                self.spark, body["path"], body.get("max_files_per_trigger")
+            )
+        if kind == "generate":
+            from .. import fixtures
+
+            fixture = body.pop("fixture", "pages")
+            rows = int(body.pop("rows", 10000))
+            fn = getattr(fixtures, fixture)
+            return fn(self.spark, rows, **body)
+        if kind == "inline":
+            return self.spark.createDataFrame(body["rows"], body.get("schema"))
+        raise ValueError(f"unknown input kind {kind}")
+
+    # ------------------------------------------------------------------
+    def run(self) -> Optional[DataFrame]:
+        out_conf = self.spec.get("output", {"memory": {}})
+        kind, body = next(iter(out_conf.items()))
+        body = body or {}
+        if kind == "memory":
+            return self.df
+        if kind == "parquet":
+            if self.df.isStreaming:
+                raise ValueError("parquet output is batch-only; use sink")
+            self.df.write.mode(body.get("mode", "overwrite")).parquet(body["path"])
+            return None
+        if kind == "sink":
+            from ..streaming.sink import IdempotentSink, run_to_sink
+
+            sink = IdempotentSink(body["path"])
+            if self.df.isStreaming:
+                run_to_sink(
+                    self.df,
+                    sink,
+                    body.get("checkpoint", body["path"] + "/_checkpoint"),
+                    output_mode=body.get("output_mode", "append"),
+                )
+            else:
+                sink.write_batch(self.df, int(body.get("batch_id", 0)))
+            return None
+        raise ValueError(f"unknown output kind {kind}")
+
+
+def run_spec(spark: SparkSession, spec: Union[str, Dict[str, Any]]) -> Optional[DataFrame]:
+    if isinstance(spec, str):
+        spec = yaml.safe_load(spec)
+    return Stream(spark, spec).run()

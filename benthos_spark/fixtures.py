@@ -22,6 +22,19 @@ _VOCAB = (
 
 _LANGS = ["en", "en", "en", "en", "de", "de", "fr", "fr", "es", "zh"]
 
+
+def _make_blob(seed: int = 42, n_words: int = 700) -> str:
+    """Fixed pseudo-lorem blob; slices of it are the page texts."""
+    words = []
+    x = seed
+    for _ in range(n_words):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        words.append(_VOCAB[x % len(_VOCAB)])
+    return " ".join(words)
+
+
+_BLOB = _make_blob()
+
 BASE_EPOCH = 1735689600  # 2025-01-01T00:00:00Z
 
 
@@ -41,6 +54,7 @@ def pages(
     seed: int = 42,
     n_partitions: int | None = None,
     zipf_exponent: float = 3.0,
+    rows_per_sec: int = 1,
 ) -> DataFrame:
     """Common-Crawl-style pages stream fixture.
 
@@ -59,25 +73,25 @@ def pages(
     u_host = _u01(base_id, 2, seed)
     host_id = F.floor(F.pow(u_host, F.lit(zipf_exponent)) * n_hosts).cast("long")
 
-    # deterministic text: 8..40 vocab tokens chosen by per-position hash of base_id
-    n_tok_choices = 9  # token count = 8 + 4*(hash%9) in [8, 40]
-    tok_count = 8 + (F.pmod(F.xxhash64(base_id, F.lit(3), F.lit(seed)), F.lit(n_tok_choices)) * 4)
-    vocab = F.array(*[F.lit(w) for w in _VOCAB])
-    words = F.transform(
-        F.sequence(F.lit(1), tok_count.cast("int")),
-        lambda i: F.element_at(
-            vocab,
-            (F.pmod(F.xxhash64(base_id, i, F.lit(seed)), F.lit(len(_VOCAB))) + 1).cast("int"),
-        ),
-    )
-    text = F.array_join(words, " ")
+    # deterministic text: a hash-addressed slice of a fixed lorem blob —
+    # constant-time per row (no per-row array allocation; higher-order
+    # functions are interpreted, not codegen'd, and GC-bind at high core
+    # counts), byte-identical across duplicates since offset/len derive
+    # from base_id
+    blob_len = len(_BLOB)
+    max_len = 1950
+    offset = F.pmod(F.xxhash64(base_id, F.lit(3), F.lit(seed)), F.lit(blob_len - max_len - 1)) + 1
+    length = 50 + F.pmod(F.xxhash64(base_id, F.lit(8), F.lit(seed)), F.lit(max_len - 50))
+    text = F.substring(F.lit(_BLOB), offset, length)
 
     u_late = _u01(id_, 4, seed)
     late_s = F.when(
         u_late < late_frac,
         F.pmod(F.xxhash64(id_, F.lit(5), F.lit(seed)), F.lit(late_max_s)),
     ).otherwise(F.lit(0))
-    warc_ts = F.timestamp_seconds(F.lit(BASE_EPOCH) + id_ - late_s)
+    warc_ts = F.timestamp_seconds(
+        F.lit(BASE_EPOCH) + F.floor(id_ / rows_per_sec) - late_s
+    )
 
     lang_arr = F.array(*[F.lit(x) for x in _LANGS])
     lang = F.element_at(

@@ -29,6 +29,11 @@ def get_spark(
             shuffle_partitions = int(master[6:-1]) if master != "local[*]" else os.cpu_count()
         except ValueError:
             shuffle_partitions = int(n) if str(n).isdigit() else 32
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "40g")
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and master.startswith("local") and os.path.isdir("/dev/shm"):
+        # single-node shuffle files on tmpfs; real clusters pass their own dirs
+        local_dir = "/dev/shm/spark_local"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -40,9 +45,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", mem)
+        # pre-size the heap: default tiny -Xms growing to -Xmx burns 25%+ of
+        # CPU in kernel page-fault churn at high core counts (measured)
+        .config("spark.driver.extraJavaOptions", f"-Xms{mem}")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

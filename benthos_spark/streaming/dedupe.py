@@ -26,13 +26,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def dedupe_exact(df: DataFrame, keys: List[str], order_col: str = "seq") -> DataFrame:
     """Batch dedupe keeping the first-seen row per key (dedupe.go drop-batch
-    semantics -> keep winner). One shuffle on the key columns."""
+    semantics -> keep winner).
+
+    Implemented as a hash aggregation with ``min_by`` rather than a
+    row_number window: partial aggregation collapses duplicate keys map-side
+    before the shuffle and avoids the per-partition sort — at 100 TB the
+    difference is a hash agg vs a full sort of the table."""
     if order_col in df.columns:
-        w = Window.partitionBy(*keys).orderBy(F.col(order_col))
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+        rest = [c for c in df.columns if c not in keys]
+        agg = df.groupBy(*keys).agg(
+            F.min_by(F.struct(*rest), F.col(order_col)).alias("__first")
+        )
+        return agg.select(*keys, *[F.col(f"__first.{c}").alias(c) for c in rest]).select(
+            *df.columns
         )
     return df.dropDuplicates(keys)
 

@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence (BASELINE.md row 2).
+
+The north rule's N -> 4N executor criterion cannot use a real cluster in
+this sandbox; per the driver contract we run the SAME flagship job on the
+SAME input at two parallelism levels (local[8] vs local[32]) and report
+docs/sec at both plus efficiency = (rate32 / rate8) / 4. Results are
+appended to BENCH.md.
+
+Each level runs in a fresh subprocess (a JVM's master is fixed at startup).
+
+Usage: python scripts/scaling_bench.py [--rows N] [--levels 8,32]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, rows: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SF_DIR"] = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "bench.py"),
+            "--flagship-only",
+            "--rows",
+            str(rows),
+            "--repeat",
+            "3",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    rows = 2_000_000
+    levels = [8, 32]
+    if "--rows" in sys.argv:
+        rows = int(sys.argv[sys.argv.index("--rows") + 1])
+    if "--levels" in sys.argv:
+        levels = [int(x) for x in sys.argv[sys.argv.index("--levels") + 1].split(",")]
+
+    # interleave levels A/B/A/B and keep the best per level: the sandbox VM
+    # shows minute-scale throughput drift (shared host), so adjacent
+    # alternating runs bound the bias
+    results = {}
+    for _round in range(2):
+        for cpus in levels:
+            r = run_level(cpus, rows)
+            if cpus not in results or r["value"] > results[cpus]["value"]:
+                results[cpus] = r
+            print(
+                f"round{_round} local[{cpus}]: {r['value']} docs/sec "
+                f"({r['queries']['flagship_pages_pipeline']} s)"
+            )
+
+    lo, hi = levels[0], levels[-1]
+    ratio = results[hi]["value"] / results[lo]["value"]
+    eff = ratio / (hi / lo)
+    print(f"scaling {lo}->{hi}: speedup {ratio:.2f}x, efficiency {eff:.3f}")
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
+    block = [
+        "",
+        f"## Scaling run {stamp}",
+        "",
+        f"Flagship windowed dedupe+aggregate pages pipeline, {rows:,} deterministic",
+        "synthetic pages (seed=42), identical input at every level; full execution",
+        "forced via count over the final aggregate.",
+        "",
+        "| parallelism | docs/sec | wall sec |",
+        "|---|---|---|",
+    ]
+    for cpus in levels:
+        r = results[cpus]
+        block.append(
+            f"| local[{cpus}] | {r['value']:,} | {r['queries']['flagship_pages_pipeline']} |"
+        )
+    block += [
+        "",
+        f"**Speedup local[{lo}] -> local[{hi}]: {ratio:.2f}x; "
+        f"scaling efficiency = {ratio:.2f}/{hi//lo} = {eff:.3f}** "
+        f"(target >= 0.8 per BASELINE.json)",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write("\n".join(block))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(
+            {
+                "rows": rows,
+                "levels": {str(c): results[c]["value"] for c in levels},
+                "speedup": round(ratio, 3),
+                "efficiency": round(eff, 3),
+            },
+            f,
+            indent=2,
+        )
+
+
+if __name__ == "__main__":
+    main()

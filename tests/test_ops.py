@@ -1,0 +1,200 @@
+"""Unit tests for the training-data operator suite on crafted near-dup data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.ops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from benthos_spark.ops.multimodal import (
+    decode_strict,
+    extract_media_features,
+    frame_sample_plan,
+)
+from benthos_spark.ops.similarity import ann_topk_bruteforce, ann_topk_lsh
+from benthos_spark.ops.textstats import lang_id, quality_score, token_count
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+DOCS = [
+    (0, BASE),
+    (1, BASE),                                  # exact dup of 0
+    (2, BASE.replace("lazy", "sleepy")),        # near dup
+    (3, "completely different words entirely unrelated to anything else"),
+    (4, BASE + " with a small suffix added"),   # near dup
+    (5, "der hund und die katze und das haus und der baum und die nicht"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.mark.spark
+class TestDedup:
+    def test_exact_dedup_groups(self, spark, docs):
+        out = {r["keep_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+        assert out[0] == 2  # docs 0,1 merged
+        assert sum(out.values()) == 6
+
+    def test_ngram_jaccard_finds_near_dups(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5, n=2).collect()
+        }
+        assert (0, 1) in pairs
+        assert (0, 2) in pairs or (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_minhash_lsh_candidates_superset_of_exact_dups(self, spark, docs):
+        pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, k=16, bands=4, n=2).collect()}
+        assert (0, 1) in pairs  # identical docs always collide in every band
+        assert not any(3 in p for p in pairs)
+
+    def test_simhash_near_for_near_dups(self, spark, docs):
+        vals = {r["id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
+        assert vals[0] == vals[1]
+        ham02 = bin(vals[0] ^ vals[2]).count("1")
+        ham03 = bin(vals[0] ^ vals[3]).count("1")
+        assert ham02 < ham03
+
+    def test_simhash_pairs_banding_complete_for_small_hamming(self, spark, docs):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(docs, bits=16, max_hamming=2).collect()
+        }
+        # brute-force oracle
+        vals = {r["id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
+        want = {}
+        ids = sorted(vals)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    h = bin(vals[i] ^ vals[j]).count("1")
+                    if h <= 2:
+                        want[(i, j)] = h
+        assert got == want and (0, 1) in got
+
+
+@pytest.mark.spark
+class TestSimilarity:
+    def test_ann_bruteforce_self_similarity(self, spark):
+        import random
+
+        rng = random.Random(42)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(50)]
+        # vec 40 = copy of vec 0 -> must be each other's top neighbor
+        rows[40] = (40, rows[0][1], 0)
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = ann_topk_bruteforce(emb, emb.filter("vec_id = 0"), k=3).collect()
+        top = [r["n_id"] for r in sorted(out, key=lambda r: r["rk"])]
+        assert top[0] == 40
+
+    def test_ann_lsh_candidates_share_bucket(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(80)]
+        rows[70] = (70, rows[1][1], 0)
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = ann_topk_lsh(emb, emb.filter("vec_id = 1"), k=3, n_planes=6).collect()
+        assert any(r["n_id"] == 70 and r["rk"] == 1 for r in out)
+
+
+@pytest.mark.spark
+class TestTextStats:
+    def test_lang_id_german_stopwords(self, spark, docs):
+        out = {r["doc_id"]: r["lang_guess"] for r in lang_id(docs).collect()}
+        assert out[5] == "de"
+        assert out[0] == "en"
+
+    def test_token_count(self, spark, docs):
+        out = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+        assert out[0] == len(BASE.split())
+
+    def test_quality_monotone_in_length(self, spark, docs):
+        out = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+        assert 0 <= min(out.values()) and max(out.values()) <= 1
+
+
+@pytest.mark.spark
+class TestMultimodal:
+    def test_fake_featurizer_deterministic(self, spark, docs):
+        payloads = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.encode("text", "utf-8").alias("bin"),
+        )
+        out1 = {
+            r["media_id"]: (r["features"]["n_bytes"], r["features"]["head_hex"], r["features"]["byte_entropy"])
+            for r in extract_media_features(payloads, "bin", "doc_id").collect()
+        }
+        out2 = {
+            r["media_id"]: (r["features"]["n_bytes"], r["features"]["head_hex"], r["features"]["byte_entropy"])
+            for r in extract_media_features(payloads, "bin", "doc_id").collect()
+        }
+        assert out1 == out2
+        assert out1["0"][0] == len(BASE.encode())
+        assert out1["0"][1] == BASE.encode()[:8].hex()
+
+    def test_strict_decoder_is_a_stub(self):
+        with pytest.raises(NotImplementedError):
+            decode_strict(b"\x89PNG...")
+
+    def test_frame_sample_plan_fanout(self, spark, docs):
+        plan = frame_sample_plan(
+            docs.select(F.col("doc_id").cast("string").alias("url")), every_n=4
+        )
+        assert plan.count() == 6 * 4
+
+
+@pytest.mark.spark
+class TestSpecRunner:
+    def test_yaml_spec_end_to_end(self, spark, tmp_path):
+        from benthos_spark.engine.spec import run_spec
+
+        spec = f"""
+input:
+  generate: {{rows: 5000, fixture: pages, n_hosts: 20}}
+pipeline:
+  processors:
+    - bloblang: |
+        url_host = url.split("/").index(2)
+        text_len = text.length()
+        root = match {{
+          text.length() < 40 => deleted()
+        }}
+    - dedupe: {{key: '${{! json("url") }}'}}
+output:
+  memory: {{}}
+"""
+        df = run_spec(spark, spec)
+        assert df.count() == df.select("url").distinct().count()
+        assert "url_host" in df.columns
+
+    def test_yaml_spec_streaming_to_sink(self, spark, tmp_path):
+        from benthos_spark.engine.spec import run_spec
+        from benthos_spark.streaming.sink import IdempotentSink
+        from benthos_spark.streaming.source import write_pages_input
+
+        in_dir = str(tmp_path / "in")
+        write_pages_input(spark, in_dir, 2000, n_chunks=2, n_hosts=10)
+        spec = {
+            "input": {"stream": {"path": in_dir}},
+            "pipeline": {
+                "processors": [
+                    {"bloblang": 'url_host = url.split("/").index(2)'},
+                ]
+            },
+            "output": {
+                "sink": {
+                    "path": str(tmp_path / "out"),
+                    "checkpoint": str(tmp_path / "ckpt"),
+                }
+            },
+        }
+        run_spec(spark, spec)
+        got = IdempotentSink(str(tmp_path / "out")).read(spark)
+        assert got.count() == 2000
