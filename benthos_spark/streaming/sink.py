@@ -55,8 +55,14 @@ class IdempotentSink:
             "_partition_id", F.spark_partition_id()
         )
         out_path = os.path.join(self.data_dir, f"batch_id={batch_id}")
-        n_rows = staged.count()
-        staged.write.mode("overwrite").parquet(out_path)
+        # persist: the batch feeds two actions (count + write); without it the
+        # whole upstream micro-batch would execute twice
+        staged = staged.persist()
+        try:
+            n_rows = staged.count()
+            staged.write.mode("overwrite").parquet(out_path)
+        finally:
+            staged.unpersist()
         metrics = {
             "batch_id": batch_id,
             "rows": n_rows,
