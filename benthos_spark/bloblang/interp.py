@@ -690,6 +690,13 @@ class Interpreter:
                 return b.hex()
             if scheme == "ascii85":
                 return base64.a85encode(b).decode()
+            if scheme == "z85":
+                from .z85 import z85_encode
+
+                try:
+                    return z85_encode(b)
+                except ValueError as exc:
+                    raise BloblangError(str(exc))
             raise BloblangError(f"unrecognised encoding: {scheme}")
         if name == "decode":
             scheme = get_string(args[0])
@@ -701,6 +708,10 @@ class Interpreter:
                     return binascii.unhexlify(s)
                 if scheme == "ascii85":
                     return base64.a85decode(s)
+                if scheme == "z85":
+                    from .z85 import z85_decode
+
+                    return z85_decode(s)
             except Exception as exc:
                 raise BloblangError(f"decode failed: {exc}")
             raise BloblangError(f"unrecognised encoding: {scheme}")

@@ -10,3 +10,4 @@ from .processors import (  # noqa: F401
     execute_all,
 )
 from .conditions import Condition, build_condition  # noqa: F401
+from . import processors_ext  # noqa: F401  (extends the processor registry)

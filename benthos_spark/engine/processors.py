@@ -1072,16 +1072,22 @@ class EncodeProc(Processor):
     def process(self, batch, env):
         out: Batch = []
         for part in batch:
-            if self.scheme == "base64":
-                payload = base64.b64encode(part.content)
-            elif self.scheme == "hex":
-                payload = binascii.hexlify(part.content)
-            elif self.scheme == "ascii85":
-                payload = base64.a85encode(part.content)
-            else:
-                out.append(flag_err(part.copy(), f"unknown scheme {self.scheme}"))
-                continue
-            out.append(Part(payload, dict(part.meta)))
+            try:
+                if self.scheme == "base64":
+                    payload = base64.b64encode(part.content)
+                elif self.scheme == "hex":
+                    payload = binascii.hexlify(part.content)
+                elif self.scheme == "ascii85":
+                    payload = base64.a85encode(part.content)
+                elif self.scheme == "z85":
+                    from ..bloblang.z85 import z85_encode
+
+                    payload = z85_encode(part.content).encode()
+                else:
+                    raise ValueError(f"unknown scheme {self.scheme}")
+                out.append(Part(payload, dict(part.meta)))
+            except Exception as exc:
+                out.append(flag_err(part.copy(), str(exc)))
         return [out]
 
 
@@ -1101,6 +1107,10 @@ class DecodeProc(Processor):
                     payload = binascii.unhexlify(part.content)
                 elif self.scheme == "ascii85":
                     payload = base64.a85decode(part.content)
+                elif self.scheme == "z85":
+                    from ..bloblang.z85 import z85_decode
+
+                    payload = z85_decode(part.content.decode())
                 else:
                     raise ValueError(f"unknown scheme {self.scheme}")
                 out.append(Part(payload, dict(part.meta)))

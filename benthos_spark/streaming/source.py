@@ -31,6 +31,28 @@ def pages_file_stream(
     return r.parquet(path)
 
 
+def read_until(query, condition_fn, poll_s: float = 0.5, timeout_s: float = 300.0) -> None:
+    """read_until (lib/input/read_until.go behavior): stop a running
+    streaming query once ``condition_fn()`` is true — e.g. a sink row-count
+    or metrics threshold. The Spark-native form of condition-gated input."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while query.isActive and time.monotonic() < deadline:
+        if condition_fn():
+            query.stop()
+            break
+        time.sleep(poll_s)
+    query.awaitTermination(timeout=timeout_s)
+
+
+def fan_in(*dfs) -> "DataFrame":
+    """input broker fan-in (lib/broker/fan_in.go) = unionByName."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
 def write_pages_input(
     spark: SparkSession,
     path: str,
