@@ -59,7 +59,12 @@ def go_format_float(f: float) -> str:
         out = repr(f)
         if "e" in out or "E" in out:
             # repr chose exponent inside the fixed-notation window; expand
-            out = format(f, "f").rstrip("0").rstrip(".")
+            # exactly (shortest repr digits, shifted) via Decimal
+            import decimal
+
+            out = format(decimal.Decimal(out), "f")
+            if "." in out:
+                out = out.rstrip("0").rstrip(".")
         return out
     # exponent form, Go style: d.ddde+XX (no leading zero in exponent pad to 2)
     out = repr(f)
