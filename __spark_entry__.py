@@ -297,21 +297,21 @@ def q_dedup_simhash(spark, sf_dir):
 def q_neardup_embedding(spark, sf_dir):
     from benthos_spark.ops.similarity import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64)
 
 
 def q_ann_topk(spark, sf_dir):
     from benthos_spark.ops.similarity import ann_topk_bruteforce
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return ann_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
 
 
 def q_ann_lsh(spark, sf_dir):
     from benthos_spark.ops.similarity import ann_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
 
 
 def q_lang_id(spark, sf_dir):

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .textprep import md5_60bit, norm_text, shingles, tokens
+from .textprep import exploded_shingles, md5_60bit, norm_text, tokens
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -44,9 +44,7 @@ def ngram_jaccard_pairs(
     |A∩B| from the shingle join, |A∪B| = |A|+|B|-|A∩B|. Emits (a, b, jac)
     with a < b and jaccard >= threshold, jac rounded for cross-engine hash
     stability."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("s")
-    )
+    sh = exploded_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -69,20 +67,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature: element h (0..k-1) = min over shingles of
     md5(h || '|' || shingle). Lexicographic min over hex digests — identical
-    in any engine with md5. Returns (id, h, sig)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    in any engine with md5. Returns (id, h, sig).
+
+    Plan shape: ONE wide aggregation with k min() columns over the exploded
+    shingles — not a k-way row explosion (k fewer rows through the shuffle,
+    all partial-aggregated map-side)."""
+    sh = exploded_shingles(docs, n, text_col, id_col)
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("s")))).alias(f"m{h}")
+            for h in range(k)
+        ]
     )
-    hs = sh.select(
+    stacked = mins.select(
         "id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("h"),
-        F.col("s"),
+        F.expr(
+            "stack({k}, {args}) as (h, sig)".format(
+                k=k, args=", ".join(f"{h}, m{h}" for h in range(k))
+            )
+        ),
     )
-    return (
-        hs.withColumn("d", F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("s"))))
-        .groupBy("id", "h")
-        .agg(F.min("d").alias("sig"))
-    )
+    return stacked
 
 
 def minhash_lsh_pairs(

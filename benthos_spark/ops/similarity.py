@@ -15,7 +15,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _dot(a, b):
+def _dot(a, b, dim=None):
+    if dim:
+        # static unroll: element_at with literal indices stays inside
+        # whole-stage codegen; zip_with/aggregate lambdas are interpreted
+        # per element (measured ~10x slower)
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            out = out + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -23,7 +31,13 @@ def _dot(a, b):
     )
 
 
-def _norm(a):
+def _norm(a, dim=None):
+    if dim:
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            v = F.element_at(a, i).cast("double")
+            out = out + v * v
+        return F.sqrt(out)
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -33,8 +47,8 @@ def _norm(a):
     )
 
 
-def cosine_col(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine_col(a, b, dim=None):
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def embedding_neardup_pairs(
@@ -42,13 +56,14 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (exact; for the oracle-checked
     baseline — the LSH variant bounds candidates at scale)."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = F.round(cosine_col(F.col("va"), F.col("vb")), 4)
+    cos = F.round(cosine_col(F.col("va"), F.col("vb"), dim), 4)
     return pairs.withColumn("cos", cos).filter(F.col("cos") >= threshold).select(
         "id_a", "id_b", "cos"
     )
@@ -60,6 +75,7 @@ def ann_topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query row. The query side is small
     by construction -> broadcast it; rank key is (rounded cos desc, id asc)
@@ -69,7 +85,7 @@ def ann_topk_bruteforce(
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
     joined = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-    scored = joined.withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("nv")), 4))
+    scored = joined.withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("nv"), dim), 4))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -111,6 +127,7 @@ def ann_topk_lsh(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates = rows in the query's SRP bucket, exact
     cosine re-rank within. Recall < 1 by design; the 100 TB plan shape —
@@ -128,7 +145,7 @@ def ann_topk_lsh(
         srp_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
     joined = c.join(F.broadcast(q), "bucket").filter(F.col("q_id") != F.col("n_id"))
-    scored = joined.withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("nv")), 4))
+    scored = joined.withColumn("cos", F.round(cosine_col(F.col("qv"), F.col("nv"), dim), 4))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))

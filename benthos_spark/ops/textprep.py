@@ -27,15 +27,33 @@ def tokens(col) -> Column:
     return F.when(n == "", F.array().cast("array<string>")).otherwise(F.split(n, " "))
 
 
-def shingles(col, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), the MinHash/Jaccard unit."""
-    toks = tokens(col)
+def shingles_of(toks: Column, n: int) -> Column:
+    """n-gram shingles (distinct) over an ALREADY-MATERIALIZED token array
+    column. Pass a plain column reference, not the tokens() expression:
+    expressions referenced inside higher-order-function lambdas are inlined
+    and re-evaluated per element (measured 10x+ blowup), a bound column is
+    evaluated once per row."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
     )
     return F.array_distinct(sh)
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the MinHash/Jaccard unit.
+
+    NOTE: prefer materializing tokens() into a column and calling
+    shingles_of() — see exploded_shingles()."""
+    return shingles_of(tokens(col), n)
+
+
+def exploded_shingles(df, n: int, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, s) rows of distinct n-gram shingles, with the token array
+    materialized before the shingle HOF (the fast plan)."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    return toks.select("id", F.explode(shingles_of(F.col("__toks"), n)).alias("s"))
 
 
 def md5_60bit(col) -> Column:
