@@ -569,11 +569,11 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_minhash_lsh"] = (
         _SQL_BIGRAMS
         + """,
-        hs as (select doc_id, h, min(md5(h::VARCHAR || '|' || s)) sig
+        hs as (select doc_id, h,
+                 min(""" + _SQL_MD5_60.format(c="h::VARCHAR || '|' || s") + """) sig
                from sh, generate_series(0, 15) g(h) group by doc_id, h),
         band as (select doc_id, h // 4 as band,
-                   md5(string_agg(h::VARCHAR || ':' || sig, ','
-                       order by h::VARCHAR || ':' || sig)) as band_key
+                   string_agg(sig::VARCHAR, ',' order by h) as band_key
                  from hs group by doc_id, h // 4)
         select distinct a.doc_id as id_a, b.doc_id as id_b
         from band a join band b

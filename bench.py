@@ -94,6 +94,40 @@ def main() -> None:
     timings["flagship_pages_pipeline"] = round(flagship_sec, 3)
     docs_per_sec = n_rows / flagship_sec
 
+    # streaming-mode flagship: readStream over chunked parquet of the same
+    # fixture -> watermark dedupe -> tumbling window agg -> idempotent sink
+    if "--streaming" in sys.argv or not flagship_only:
+        import shutil
+        import tempfile
+
+        from benthos_spark.pipelines import pages_windowed_dedupe_agg
+        from benthos_spark.streaming.sink import IdempotentSink, run_to_sink
+        from benthos_spark.streaming.source import pages_file_stream, write_pages_input
+
+        stream_rows = min(n_rows, 1_000_000)
+        workdir = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            write_pages_input(
+                spark, f"{workdir}/in", stream_rows, n_chunks=8, n_hosts=1000,
+                rows_per_sec=100,
+            )
+            sink = IdempotentSink(f"{workdir}/sink")
+            t0 = time.perf_counter()
+            run_to_sink(
+                pages_windowed_dedupe_agg(
+                    pages_file_stream(spark, f"{workdir}/in"),
+                    window_size="10 minutes",
+                    watermark="1 hour",
+                ),
+                sink,
+                f"{workdir}/ckpt",
+            )
+            stream_sec = time.perf_counter() - t0
+            timings["flagship_streaming"] = round(stream_sec, 3)
+            timings["flagship_streaming_docs_per_sec"] = round(stream_rows / stream_sec, 1)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
     if not flagship_only:
         import __spark_entry__ as entry_mod
 

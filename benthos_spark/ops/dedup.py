@@ -62,24 +62,32 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signatures(
+def minhash_wide(
     docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash signature: element h (0..k-1) = min over shingles of
-    md5(h || '|' || shingle). Lexicographic min over hex digests — identical
-    in any engine with md5. Returns (id, h, sig).
+    """Wide MinHash signature: column m_h (h in 0..k-1) = min over shingles
+    of the 60-bit md5 digest of 'h|shingle' (shared cross-engine formula,
+    textprep.md5_60bit). Returns (id, m0..m{k-1}).
 
-    Plan shape: ONE wide aggregation with k min() columns over the exploded
-    shingles — not a k-way row explosion (k fewer rows through the shuffle,
-    all partial-aggregated map-side)."""
+    Plan shape: ONE HashAggregate with k min(LONG) columns over the exploded
+    shingles. min over hex STRINGS would be a SortAggregate (var-length agg
+    buffers are not hash-aggregatable) and a k-way row explosion would put
+    k x rows through the shuffle — both measured significantly slower."""
     sh = exploded_shingles(docs, n, text_col, id_col)
-    mins = sh.groupBy("id").agg(
+    return sh.groupBy("id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("s")))).alias(f"m{h}")
+            F.min(md5_60bit(F.concat(F.lit(f"{h}|"), F.col("s")))).alias(f"m{h}")
             for h in range(k)
         ]
     )
-    stacked = mins.select(
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, h, sig) long-form view of minhash_wide (for inspection/tests)."""
+    wide = minhash_wide(docs, k, n, text_col, id_col)
+    return wide.select(
         "id",
         F.expr(
             "stack({k}, {args}) as (h, sig)".format(
@@ -87,7 +95,6 @@ def minhash_signatures(
             )
         ),
     )
-    return stacked
 
 
 def minhash_lsh_pairs(
@@ -98,15 +105,25 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH candidate pairs: k/bands rows per band, band key = md5 of the
-    concatenated band slice; docs sharing any band key pair up. Output
-    (id_a, id_b) distinct, id_a < id_b."""
+    """LSH candidate pairs: band key = the band's signature slice joined as
+    a string, computed straight from the wide signature columns (no second
+    aggregation); docs sharing any band key pair up. Output (id_a, id_b)
+    distinct, id_a < id_b. Every join is an equi-join on (band, band_key)."""
     r = k // bands
-    sig = minhash_signatures(docs, k=k, n=n, text_col=text_col, id_col=id_col)
-    band = (
-        sig.withColumn("band", (F.col("h") / r).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", F.col("h").cast("string"), F.col("sig")))))).alias("band_key"))
+    wide = minhash_wide(docs, k=k, n=n, text_col=text_col, id_col=id_col)
+    band = wide.select(
+        "id",
+        F.expr(
+            "stack({b}, {args}) as (band, band_key)".format(
+                b=bands,
+                args=", ".join(
+                    "{b}, concat_ws(',', {cols})".format(
+                        b=b, cols=", ".join(f"m{h}" for h in range(b * r, (b + 1) * r))
+                    )
+                    for b in range(bands)
+                ),
+            )
+        ),
     )
     a, b = band.alias("a"), band.alias("b")
     return (

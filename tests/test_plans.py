@@ -1,0 +1,66 @@
+"""Plan-shape regression guards: the physical plans the scale story depends
+on must not silently degrade (SortAggregate creep, lost pushdown, lost
+broadcast)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.fixtures import pages
+from benthos_spark.pipelines import pages_windowed_dedupe_agg
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.spark
+class TestPlanShape:
+    def test_flagship_has_no_sort_aggregate(self, spark):
+        df = pages_windowed_dedupe_agg(pages(spark, 1000, rows_per_sec=100))
+        plan = plan_of(df)
+        assert "SortAggregate" not in plan, plan
+        assert "HashAggregate" in plan
+        df2 = pages_windowed_dedupe_agg(
+            pages(spark, 1000, rows_per_sec=100), hash_key=True
+        )
+        assert "SortAggregate" not in plan_of(df2)
+
+    def test_flagship_prunes_html_column(self, spark):
+        # html (the fattest column) must never be generated or shuffled
+        df = pages_windowed_dedupe_agg(pages(spark, 1000, rows_per_sec=100))
+        assert "html" not in optimized_of(df)
+
+    def test_parquet_scan_pushdown(self, spark, tmp_path):
+        p = str(tmp_path / "li")
+        pages(spark, 5000, rows_per_sec=100).write.parquet(p)
+        df = (
+            spark.read.parquet(p)
+            .filter(F.col("lang") == "en")
+            .select("url", "lang")
+        )
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+        assert "ReadSchema: struct<url:string,lang:string>" in plan, plan
+
+    def test_enrich_join_broadcasts_dim(self, spark):
+        from benthos_spark.fixtures import enrich_side
+        from benthos_spark.streaming.enrich import enrich_static
+
+        df = pages(spark, 1000).withColumn("host", F.split("url", "/")[2])
+        out = enrich_static(df, enrich_side(spark, 10), on="host")
+        assert "BroadcastHashJoin" in plan_of(out)
+
+    def test_minhash_is_single_wide_aggregation(self, spark):
+        from benthos_spark.ops.dedup import minhash_signatures
+
+        docs = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "b c d e f")], "doc_id long, text string"
+        )
+        plan = plan_of(minhash_signatures(docs, k=8, n=2))
+        assert "SortAggregate" not in plan
+        # one partial+final hash agg pair, not an 8-way explode
+        assert plan.count("Generate ") <= 2, plan

@@ -185,6 +185,57 @@ class TestExactlyOnce:
         assert sink.read(spark).count() == n1
         assert n1 == spark.read.parquet(in_dir).select("url").distinct().count()
 
+    def test_ttl_state_survives_restart(self, spark, tmp_path):
+        """applyInPandasWithState dedupe state must carry across a restart:
+        a duplicate url arriving in run 2 within TTL of its run-1 admission
+        must stay suppressed (checkpoint holds the state, not the JVM)."""
+        from pyspark.sql import functions as F
+
+        from benthos_spark.fixtures import pages
+
+        in_dir = str(tmp_path / "in")
+        full = pages(spark, 6000, n_hosts=20, rows_per_sec=100)
+        # run 1 input: first 3000 rows; run 2 adds the rest (the fixture's
+        # duplicate urls recur across the boundary)
+        full.filter("seq < 3000").coalesce(1).write.mode("append").parquet(in_dir)
+        ttl = 10 * 3600.0
+        sink = IdempotentSink(str(tmp_path / "sink"))
+        ckpt = str(tmp_path / "ckpt")
+
+        def stream():
+            return dedupe_ttl_stateful(
+                pages_file_stream(spark, in_dir),
+                ["url"],
+                ttl_seconds=ttl,
+                watermark="100 hours",
+            )
+
+        run_to_sink(stream(), sink, ckpt)
+        full.filter("seq >= 3000").coalesce(1).write.mode("append").parquet(in_dir)
+        run_to_sink(stream(), sink, ckpt)
+
+        got = sorted(
+            (r["url"], r["warc_ts"])
+            for r in sink.read(spark).select("url", "warc_ts").collect()
+        )
+        rows = [
+            (r["url"], r["warc_ts"])
+            for r in spark.read.parquet(in_dir).select("url", "warc_ts").collect()
+        ]
+        want = sorted(
+            dedupe_ttl_reference(
+                rows, key_fn=lambda r: r[0], ts_fn=lambda r: r[1].timestamp(), ttl_seconds=ttl
+            )
+        )
+        # NOTE: split processing can only differ from the global oracle if a
+        # late duplicate lands in run 2 with an earlier event-time than the
+        # run-1 admission; the fixture's duplicates are far apart in seq, so
+        # the oracle holds exactly here.
+        assert got == want
+        # and the key point: fewer rows than input (state suppressed dups
+        # across the restart boundary)
+        assert len(got) < len(rows)
+
     def test_kill_restart_resumes_without_loss(self, spark, tmp_path):
         in_dir = str(tmp_path / "in")
         write_pages_input(spark, in_dir, 4000, n_chunks=4, n_hosts=20)
