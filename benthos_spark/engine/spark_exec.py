@@ -143,6 +143,8 @@ class NativePipeline:
         return lambda df: df.filter(pred)
 
     def _c_dedupe(self, body, cols):
+        if "keys" in body or "ttl_seconds" in body or "key_column" in body:
+            return self._c_dedupe_stream(body, cols)
         key_src = body.get("key", "")
         cc = ColumnCompiler(columns=cols)
         from ..bloblang.parser import parse_interpolation
@@ -198,6 +200,69 @@ class NativePipeline:
         min_sz = int(body.get("min_part_size", 1))
         col = body.get("column", "content")
         return lambda df: df.filter(F.length(F.col(col)).between(min_sz, max_sz))
+
+    def _c_dedupe_stream(self, body, cols):
+        """Streaming dedupe stage: key columns + watermark (fast path) or an
+        explicit event-time TTL (full cache semantics via state)."""
+        keys = body.get("keys") or [body.get("key_column", "url")]
+        wm = body.get("watermark", "30 minutes")
+        ttl = body.get("ttl_seconds")
+        ts_col = body.get("ts_col", "warc_ts")
+
+        def t(df):
+            from ..streaming.dedupe import (
+                dedupe_exact,
+                dedupe_ttl_stateful,
+                dedupe_within_watermark,
+            )
+
+            if not df.isStreaming:
+                return dedupe_exact(df, keys, order_col=body.get("order_col", "seq"))
+            if ttl:
+                return dedupe_ttl_stateful(df, keys, float(ttl), ts_col=ts_col, watermark=wm)
+            return dedupe_within_watermark(df, keys, watermark=wm, ts_col=ts_col)
+
+        return t
+
+    def _c_window(self, body, cols):
+        """Windowed aggregate stage: kind tumbling|sliding|session, keyed by
+        url_host (or an explicit key column); built-in aggs only."""
+        kind = body.get("kind", "tumbling")
+        size = body.get("size", "10 minutes")
+        wm = body.get("watermark", "30 minutes")
+
+        def t(df):
+            from ..streaming import windows as W
+
+            if kind == "tumbling":
+                return W.tumbling_host_agg(df, size=size, watermark=wm)
+            if kind == "sliding":
+                return W.sliding_host_agg(
+                    df, size=size, slide=body.get("slide", size), watermark=wm
+                )
+            if kind == "session":
+                return W.session_host_agg(df, gap=body.get("gap", size), watermark=wm)
+            if kind == "keep_first":
+                return W.keep_first_of_window(df, size=size, watermark=wm)
+            raise CompileError(f"unknown window kind {kind}")
+
+        cols.clear()
+        cols.update({"win_start", "win_end", "url_host", "n_pages", "approx_urls", "total_chars", "max_ts"})
+        return t
+
+    def _c_enrich(self, body, cols):
+        """Broadcast enrichment against a parquet dimension table."""
+        path = body["path"]
+        on = body.get("on", "url_host")
+        how = body.get("how", "left")
+
+        def t(df):
+            from ..streaming.enrich import enrich_static
+
+            dim = df.sparkSession.read.parquet(path)
+            return enrich_static(df, dim, on=on, how=how)
+
+        return t
 
     def _c_noop(self, body, cols):
         return lambda df: df

@@ -19,6 +19,21 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+def has_watermark(df: DataFrame) -> bool:
+    """True if an event-time watermark is already defined upstream (Spark
+    disallows redefining one below another stateful operator)."""
+    try:
+        return "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+
+
+def _with_watermark(df: DataFrame, watermark):
+    if watermark and df.isStreaming and not has_watermark(df):
+        return df.withWatermark("warc_ts", watermark)
+    return df
+
+
 def url_host_col():
     """url -> host, pure Catalyst expression (no UDF)."""
     return F.split(F.col("url"), "/")[2]
@@ -46,9 +61,7 @@ def tumbling_host_agg(
     aggs: Optional[Sequence] = None,
 ) -> DataFrame:
     """Tumbling window per host: groupBy(window(warc_ts, size), url_host)."""
-    df = with_host(df)
-    if watermark and df.isStreaming:
-        df = df.withWatermark("warc_ts", watermark)
+    df = _with_watermark(with_host(df), watermark)
     out = df.groupBy(F.window("warc_ts", size).alias("win"), "url_host").agg(
         *(aggs or _DEFAULT_AGGS())
     )
@@ -67,9 +80,7 @@ def sliding_host_agg(
     watermark: Optional[str] = "30 minutes",
     aggs: Optional[Sequence] = None,
 ) -> DataFrame:
-    df = with_host(df)
-    if watermark and df.isStreaming:
-        df = df.withWatermark("warc_ts", watermark)
+    df = _with_watermark(with_host(df), watermark)
     out = df.groupBy(F.window("warc_ts", size, slide).alias("win"), "url_host").agg(
         *(aggs or _DEFAULT_AGGS())
     )
@@ -89,7 +100,7 @@ def session_host_agg(
 ) -> DataFrame:
     """Session window per host (gap-based); streaming requires a watermark."""
     df = with_host(df)
-    if df.isStreaming:
+    if df.isStreaming and not has_watermark(df):
         df = df.withWatermark("warc_ts", watermark or "30 minutes")
     out = df.groupBy(F.session_window("warc_ts", gap).alias("win"), "url_host").agg(
         *(aggs or _DEFAULT_AGGS())
@@ -111,9 +122,7 @@ def keep_first_of_window(
     ``batch_index() > 0 => deleted()`` idiom (config/test/bloblang_windowed.yaml)
     generalized to event-time windows. Uses ``min_by`` (works in streaming agg
     where row_number does not)."""
-    df = with_host(df)
-    if watermark and df.isStreaming:
-        df = df.withWatermark("warc_ts", watermark)
+    df = _with_watermark(with_host(df), watermark)
     first = F.min_by(F.struct("url", "warc_ts", "text", "lang"), F.struct("warc_ts", "url")).alias("first_row")
     out = df.groupBy(F.window("warc_ts", size).alias("win"), "url_host").agg(first)
     return out.select(
@@ -140,9 +149,7 @@ def salted_host_window_agg(
     At 100 TB the phase-1 shuffle is the dominant cost; salting bounds the
     largest reducer at ~1/n_salt of the hottest host instead of 100% of it.
     """
-    df = with_host(df)
-    if watermark and df.isStreaming:
-        df = df.withWatermark("warc_ts", watermark)
+    df = _with_watermark(with_host(df), watermark)
     salt = F.pmod(F.xxhash64("url"), F.lit(n_salt)).alias("salt")
     partial = df.groupBy(
         F.window("warc_ts", size).alias("win"), "url_host", salt

@@ -198,3 +198,39 @@ output:
         run_spec(spark, spec)
         got = IdempotentSink(str(tmp_path / "out")).read(spark)
         assert got.count() == 2000
+
+
+@pytest.mark.spark
+class TestSpecWindowDedupe:
+    def test_yaml_window_dedupe_batch(self, spark):
+        from benthos_spark.engine.spec import run_spec
+
+        with open("/root/repo/examples/batch_dedup_report.yaml") as f:
+            spec = f.read()
+        df = run_spec(spark, spec)
+        rows = df.collect()
+        assert rows
+        assert {"win_start", "url_host", "n_pages"} <= set(df.columns)
+
+    def test_yaml_streaming_window_dedupe(self, spark, tmp_path):
+        import yaml as _yaml
+
+        from benthos_spark.engine.spec import run_spec
+        from benthos_spark.streaming.sink import IdempotentSink
+        from benthos_spark.streaming.source import write_pages_input
+
+        with open("/root/repo/examples/flagship_streaming.yaml") as f:
+            spec = _yaml.safe_load(f)
+        in_dir = str(tmp_path / "in")
+        # ~83 minutes of event time so several 10-minute windows pass the
+        # watermark and finalize in append mode
+        write_pages_input(spark, in_dir, 5000, n_chunks=2, n_hosts=20, rows_per_sec=1)
+        spec["input"]["stream"]["path"] = in_dir
+        spec["pipeline"]["processors"][1]["dedupe"]["watermark"] = "1 minute"
+        spec["pipeline"]["processors"][2]["window"]["watermark"] = "1 minute"
+        spec["output"]["sink"]["path"] = str(tmp_path / "out")
+        spec["output"]["sink"]["checkpoint"] = str(tmp_path / "ckpt")
+        run_spec(spark, spec)
+        got = IdempotentSink(str(tmp_path / "out")).read(spark)
+        assert {"win_start", "url_host", "n_pages"} <= set(got.columns)
+        assert got.count() > 0
