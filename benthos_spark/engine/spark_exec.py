@@ -357,6 +357,44 @@ def _compile_condition(conf: Any, cols: set):
     raise CompileError(f"condition {ctype} not natively compiled")
 
 
+def run_frame_pipeline_streaming(
+    stream_df: DataFrame,
+    processors_conf: List[Dict[str, Any]],
+    sink,
+    checkpoint_dir: str,
+    batch_scope: str = "micro_batch",
+):
+    """Streaming execution of schemaless processor kernels.
+
+    Each micro-batch becomes one (or, with batch_scope='batch_id', its
+    pre-assigned groups of) Benthos batch(es): the kernels run inside the
+    foreachBatch body via the same Arrow path as batch mode, and the result
+    lands in the idempotent sink — so at-least-once kernel execution is
+    upgraded to exactly-once delivery by the commit log, matching the
+    reference's transaction contract (lib/types/transaction.go behavior)."""
+    conf_json = _json.dumps(processors_conf)
+
+    def body(df: DataFrame, batch_id: int) -> None:
+        if batch_scope == "micro_batch" or "batch_id" not in df.columns:
+            if "batch_id" in df.columns:
+                df = df.drop("batch_id")
+            if "seq" not in df.columns:
+                df = df.withColumn("seq", F.monotonically_increasing_id())
+            df = df.withColumn("batch_id", F.lit(batch_id))
+        out = run_frame_pipeline(df.select(*FRAME_SCHEMA.fieldNames()), processors_conf)
+        sink.write_batch(out, batch_id)
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(body)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def compile_or_frame(
     df: DataFrame, processors_conf: List[Dict[str, Any]]
 ) -> tuple[DataFrame, str]:

@@ -154,3 +154,42 @@ class TestNativeMode:
             joined._jdf.queryExecution(), "simple"
         ) if False else joined._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan
+
+
+@pytest.mark.spark
+@pytest.mark.streaming
+class TestFrameStreaming:
+    def test_schemaless_processors_over_stream(self, spark, tmp_path):
+        import json as _json
+
+        from benthos_spark.engine.spark_exec import run_frame_pipeline_streaming
+        from benthos_spark.streaming.sink import IdempotentSink
+
+        # a stream of schemaless JSON payloads (frame columns)
+        in_dir = str(tmp_path / "in")
+        rows = [
+            (0, i, _json.dumps({"v": i, "keep": i % 2 == 0}).encode(), {})
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(
+            rows, "batch_id long, seq long, content binary, meta map<string,string>"
+        )
+        df.coalesce(2).write.parquet(in_dir)
+        stream = spark.readStream.schema(
+            "batch_id long, seq long, content binary, meta map<string,string>"
+        ).parquet(in_dir)
+        sink = IdempotentSink(str(tmp_path / "out"))
+        run_frame_pipeline_streaming(
+            stream,
+            [
+                {"bloblang": 'root = this\ndoubled = json("v") * 2'},
+                {"filter_parts": {"json": {"path": "keep", "operator": "equals", "arg": True}}},
+            ],
+            sink,
+            str(tmp_path / "ckpt"),
+        )
+        got = sink.read(spark).collect()
+        assert len(got) == 50
+        docs = [_json.loads(bytes(r["content"])) for r in got]
+        assert all(d["doubled"] == d["v"] * 2 for d in docs)
+        assert all(d["keep"] for d in docs)
