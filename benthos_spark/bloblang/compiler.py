@@ -246,9 +246,12 @@ class ColumnCompiler:
         def lit_arg(i: int, default=None):
             if len(args) <= i:
                 return default
-            if not isinstance(args[i], Lit):
+            a = args[i]
+            if isinstance(a, Unary) and a.op == "-" and isinstance(a.operand, Lit):
+                a = Lit(-a.operand.value)
+            if not isinstance(a, Lit):
                 raise CompileError("argument must be literal on the hot path")
-            return args[i].value
+            return a.value
 
         if name == "string":
             return recv.cast("string")
@@ -296,16 +299,25 @@ class ColumnCompiler:
         if name == "re_find_all":
             return F.expr(f"regexp_extract_all({_sql(recv)}, {_sql_lit(lit_arg(0))}, 0)")
         if name == "format":
-            fmt = str(lit_arg(0)) if False else None  # format is recv-side
-            raise CompileError("format not column-compilable yet")
+            # recv is the Go format string; %v/%s/%d/%f -> format_string
+            if not isinstance(node.recv, Lit):
+                raise CompileError("format string must be a literal")
+            fmt = str(node.recv.value).replace("%v", "%s")
+            return F.format_string(fmt, *[self.compile(a) for a in args])
         if name == "slice":
             lo = int(lit_arg(0))
             hi = lit_arg(1)
-            if lo < 0 or (hi is not None and int(hi) < 0):
-                raise CompileError("negative slice not column-compilable")
+            if lo >= 0 and (hi is None or int(hi) >= 0):
+                if hi is None:
+                    return F.substring(recv, lo + 1, 1 << 30)
+                return F.substring(recv, lo + 1, int(hi) - lo)
+            # negative indices wrap from the end (strings only)
+            ln = F.length(recv)
+            start = (ln + F.lit(lo) + 1) if lo < 0 else F.lit(lo + 1)
             if hi is None:
-                return F.substring(recv, lo + 1, 1 << 30)
-            return F.substring(recv, lo + 1, int(hi) - lo)
+                return F.substring(recv, start, F.lit(1 << 30))
+            end = (ln + F.lit(int(hi))) if int(hi) < 0 else F.lit(int(hi))
+            return F.substring(recv, start, end - start + 1)
         if name == "index":
             i = int(lit_arg(0))
             return F.element_at(recv, i + 1 if i >= 0 else i)
