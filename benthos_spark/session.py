@@ -50,6 +50,12 @@ def get_spark(
         # CPU in kernel page-fault churn at high core counts (measured)
         .config("spark.driver.extraJavaOptions", f"-Xms{mem}")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+        # RocksDB state store: bounded memory + changelog-style commits beat
+        # the HDFS-backed provider's full-snapshot-per-batch at large state
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
