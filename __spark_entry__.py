@@ -132,6 +132,24 @@ def q_window_session(spark, sf_dir):
     )
 
 
+def q_window_keep_first(spark, sf_dir):
+    """keep-first-of-window — the reference's batch_index()>0 => deleted()
+    idiom (config/test/bloblang_windowed.yaml) over event-time windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.window("ts", "1 hour"), "event_type").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("win_start"),
+            "event_type",
+            "event_id",
+        )
+    )
+
+
 def q_switch_route(spark, sf_dir):
     from benthos_spark.engine.spark_exec import NativePipeline
 
@@ -362,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
+        "window_keep_first": q_window_keep_first,
         "switch_route": q_switch_route,
         "split_rebatch": q_split_rebatch,
         "archive_lines": q_archive_lines,
@@ -482,6 +501,17 @@ def oracle_sql() -> dict[str, str]:
         group by 1, 2
     """
     sql["window_session"] = _SQL_SESSION
+    sql["window_keep_first"] = """
+        with r as (
+          select ts, event_type, event_id,
+            row_number() over (partition by date_trunc('hour', ts), event_type
+                               order by ts, event_id) rk
+          from events
+        )
+        select epoch(date_trunc('hour', ts))::BIGINT as win_start,
+               event_type, event_id
+        from r where rk = 1
+    """
     sql["switch_route"] = """
         select case when event_type = 'error' then 'err'
                     when value > 10 then 'big'
