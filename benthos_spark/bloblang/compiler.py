@@ -10,7 +10,11 @@ except here the fast path is the default.
 Deliberate deviations from interpreter semantics (documented, hot-path only):
 - ``catch``/``or`` compile to ``coalesce`` (JVM expressions yield NULL where
   the interpreter raises recoverable errors — try_* funcs used where needed)
-- arithmetic on non-numeric strings yields NULL instead of an error
+- arithmetic on non-numeric strings yields NULL (``try_cast``, ANSI-safe)
+  instead of the reference's recoverable per-message error. ``a + b`` with
+  statically-unknown operand types raises :class:`CompileError` so the
+  interpreter kernel (exact dynamic concat-or-add semantics,
+  lib/bloblang/x/query/arithmetic.go add) handles it instead
 - ``hash("xxhash64")`` is not column-compilable byte-compatibly (Spark's
   xxhash64 is a seeded column hash, not a raw-byte digest) -> fallback
 """
@@ -41,6 +45,22 @@ class CompileError(Exception):
     """Raised when an AST is not expressible as a Catalyst Column."""
 
 
+def _base_type(spark_dtype: Optional[str]) -> Optional[str]:
+    """Spark simpleString dtype -> coarse static type for the arithmetic rules."""
+    if spark_dtype is None:
+        return None
+    d = spark_dtype.lower()
+    if d in ("string", "varchar", "char") or d.startswith(("varchar(", "char(")):
+        return "string"
+    if d in ("tinyint", "smallint", "int", "bigint", "float", "double") or d.startswith(
+        "decimal"
+    ):
+        return "number"
+    if d == "boolean":
+        return "bool"
+    return None
+
+
 class ColumnCompiler:
     def __init__(
         self,
@@ -49,7 +69,17 @@ class ColumnCompiler:
         content_col: Optional[str] = None,
         bindings: Optional[Dict[str, Column]] = None,
     ):
-        self.columns = columns
+        # `columns` may be a dict {name: spark_dtype} (from df.dtypes) — then
+        # static operand types are known and `+` can pick concat vs add the
+        # way the reference's dynamic add() does per-row (arithmetic.go:38-64)
+        if isinstance(columns, dict):
+            self.dtypes: Dict[str, Optional[str]] = {
+                k: _base_type(v) for k, v in columns.items()
+            }
+            self.columns: Optional[set] = set(columns)
+        else:
+            self.dtypes = {}
+            self.columns = columns
         self.meta_col = meta_col
         self.content_col = content_col
         self.bindings = bindings or {}
@@ -57,6 +87,7 @@ class ColumnCompiler:
 
     def with_this(self, this: Column) -> "ColumnCompiler":
         c = ColumnCompiler(self.columns, self.meta_col, self.content_col, dict(self.bindings))
+        c.dtypes = self.dtypes
         c.bindings["__this__"] = this
         c.vars = self.vars
         return c
@@ -93,7 +124,7 @@ class ColumnCompiler:
             return self._bin(node)
         if isinstance(node, Unary):
             v = self.compile(node.operand)
-            return -v.cast("double") if node.op == "-" else ~v
+            return -_num(v) if node.op == "-" else ~v
         raise CompileError(f"cannot compile node {type(node).__name__}")
 
     # ------------------------------------------------------------------
@@ -197,17 +228,34 @@ class ColumnCompiler:
         if op in ("<", ">", "<=", ">="):
             return {"<": left < right, ">": left > right, "<=": left <= right, ">=": left >= right}[op]
         if op == "+":
-            if _is_string_lit(node.left) or _is_string_lit(node.right):
+            lt = _static_type(node.left, self)
+            rt = _static_type(node.right, self)
+            if lt == "string" and rt == "string":
+                return F.concat(left, right)
+            if (lt == "string") != (rt == "string"):
+                if lt in ("number", "bool") or rt in ("number", "bool"):
+                    # reference add() errors on string+number per-row; surface
+                    # the type clash at compile time instead of concat'ing
+                    raise CompileError("cannot add string and non-string")
+                # one statically-string side, other unknown: concat
                 return F.concat(left.cast("string"), right.cast("string"))
-            return left.cast("double") + right.cast("double")
+            if lt is None and rt is None:
+                # dynamic concat-or-add needs runtime types -> interpreter
+                raise CompileError("operand types unknown for +")
+            return _num(left) + _num(right)
         if op == "-":
-            return left.cast("double") - right.cast("double")
+            return _num(left) - _num(right)
         if op == "*":
-            return left.cast("double") * right.cast("double")
+            return _num(left) * _num(right)
         if op == "/":
-            return left.cast("double") / right.cast("double")
+            return _num(left) / _num(right)
         if op == "%":
-            return F.pmod(left.cast("long"), right.cast("long"))
+            # Go's % truncates toward zero (arithmetic.go mod): -7 % 3 == -1,
+            # unlike pmod/floored modulo
+            lng = _long(left)
+            rng = _long(right)
+            mag = F.pmod(F.abs(lng), F.abs(rng))
+            return F.when(lng < 0, -mag).otherwise(mag)
         raise CompileError(f"operator {op} not column-compilable")
 
     # ------------------------------------------------------------------
@@ -235,6 +283,7 @@ class ColumnCompiler:
             def merge(acc, x):
                 c = ColumnCompiler(self.columns, self.meta_col, self.content_col,
                                    {**self.bindings, "tally": acc, "value": x})
+                c.dtypes = self.dtypes
                 c.vars = self.vars
                 return c.compile(lam)
 
@@ -272,7 +321,9 @@ class ColumnCompiler:
             return F.initcap(recv)
         if name == "trim":
             if args:
-                return F.expr(f"btrim({_sql(recv)}, {_sql_lit(lit_arg(0))})")
+                # literal Column, not SQL text: backslashes/quotes in the
+                # cutset must survive verbatim (lib/bloblang/x/query/methods_strings.go trim)
+                return F.btrim(recv, F.lit(str(lit_arg(0))))
             return F.trim(recv)
         if name == "split":
             import re as _re
@@ -297,7 +348,9 @@ class ColumnCompiler:
         if name == "re_replace":
             return F.regexp_replace(recv, str(lit_arg(0)), str(lit_arg(1)))
         if name == "re_find_all":
-            return F.expr(f"regexp_extract_all({_sql(recv)}, {_sql_lit(lit_arg(0))}, 0)")
+            # literal Column: SQL-text quoting would swallow backslashes
+            # (re_find_all("\d+") must not become regexp 'd+')
+            return F.regexp_extract_all(recv, F.lit(str(lit_arg(0))), F.lit(0))
         if name == "format":
             # recv is the Go format string; %v/%s/%d/%f -> format_string
             if not isinstance(node.recv, Lit):
@@ -352,9 +405,9 @@ class ColumnCompiler:
         if name == "strip_html":
             return F.regexp_replace(recv, "<[^>]*>", "")
         if name == "escape_url_query":
-            return F.expr(f"url_encode({_sql(recv)})")
+            return F.url_encode(recv)
         if name == "unescape_url_query":
-            return F.expr(f"url_decode({_sql(recv)})")
+            return F.url_decode(recv)
         if name == "hash":
             alg = str(lit_arg(0))
             if alg == "sha256":
@@ -413,14 +466,77 @@ def _is_string_lit(ast: Any) -> bool:
     return isinstance(ast, Lit) and isinstance(ast.value, str)
 
 
-def _sql(col: Column) -> str:
-    # Column -> SQL text for the few F.expr constructions above
-    return col._jc.toString()  # noqa: SLF001
+def _num(c: Column) -> Column:
+    """ANSI-safe numeric coercion: non-numeric rows yield NULL, never a
+    CAST_INVALID_INPUT job abort (Spark 4 defaults to ANSI mode)."""
+    return c.try_cast("double") if hasattr(c, "try_cast") else c.cast("double")
 
 
-def _sql_lit(v: Any) -> str:
-    s = str(v).replace("'", "\\'")
-    return f"'{s}'"
+def _long(c: Column) -> Column:
+    return c.try_cast("long") if hasattr(c, "try_cast") else c.cast("long")
+
+
+_STR_METHODS = {
+    "string", "uppercase", "lowercase", "capitalize", "trim", "replace",
+    "re_replace", "join", "format", "strip_html", "escape_url_query",
+    "unescape_url_query",
+}
+_NUM_METHODS = {"number", "length", "size", "sum", "floor", "ceil", "round", "abs"}
+_BOOL_METHODS = {"bool", "not", "contains", "has_prefix", "has_suffix", "re_match", "exists"}
+
+
+def _static_type(node: Any, cc: Optional["ColumnCompiler"]) -> Optional[str]:
+    """Best-effort static operand typing ('string'|'number'|'bool'|None) used
+    by `+` to choose concat vs numeric add the way the reference's dynamic
+    add() does per-row."""
+    if isinstance(node, Lit):
+        v = node.value
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, float)):
+            return "number"
+        if isinstance(v, str):
+            return "string"
+        return None
+    if isinstance(node, Unary):
+        return "number" if node.op == "-" else "bool"
+    if isinstance(node, Bin):
+        if node.op in ("-", "*", "/", "%"):
+            return "number"
+        if node.op in ("==", "!=", "<", ">", "<=", ">=", "&&", "||"):
+            return "bool"
+        if node.op in ("+", "|"):
+            lt = _static_type(node.left, cc)
+            rt = _static_type(node.right, cc)
+            return lt if lt == rt else (lt or rt if node.op == "|" else None)
+        return None
+    if isinstance(node, Method):
+        if node.name in _STR_METHODS:
+            return "string"
+        if node.name in _NUM_METHODS:
+            return "number"
+        if node.name in _BOOL_METHODS:
+            return "bool"
+        if node.name in ("catch", "or") and node.args:
+            return _static_type(node.recv, cc) or _static_type(node.args[0], cc)
+        if node.name == "slice":
+            return _static_type(node.recv, cc)
+        return None
+    if isinstance(node, Func):
+        if node.name in ("timestamp_unix", "random_int", "batch_index", "batch_size"):
+            return "number"
+        if node.name in ("uuid_v4", "hostname"):
+            return "string"
+        return None
+    if isinstance(node, FieldRef):
+        if cc is not None and len(node.path) == 1 and "__this__" not in cc.bindings:
+            return cc.dtypes.get(node.path[0])
+        return None
+    if isinstance(node, Match):
+        kinds = {_static_type(b, cc) for _c, b in node.cases}
+        kinds.discard(None)
+        return kinds.pop() if len(kinds) == 1 else None
+    return None
 
 
 # ---------------------------------------------------------------- mapping
@@ -436,12 +552,30 @@ class CompiledMapping:
         return self.transform(df)
 
 
-def compile_mapping_to_transform(mapping: Mapping, columns: set) -> CompiledMapping:
+def compile_mapping_to_transform(mapping: Mapping, columns) -> CompiledMapping:
     """Compile a typed-mode mapping. Raises CompileError on any statement the
-    Column compiler can't express (caller falls back to the kernel path)."""
+    Column compiler can't express (caller falls back to the kernel path).
+
+    ``columns`` may be a plain set of names or a dict {name: spark_dtype}
+    (``dict(df.dtypes)``) — with dtypes, ``+`` resolves concat-vs-add
+    statically instead of falling back."""
     steps = []  # (kind, payload)
     cc = ColumnCompiler(columns=columns)
-    current_cols = columns  # mutated in place so later stages see new columns
+    current_cols = cc.columns
+
+    def add_col(name: str, static_t: Optional[str]) -> None:
+        current_cols.add(name)
+        cc.dtypes[name] = static_t
+        if isinstance(columns, dict):  # keep the caller's container in sync
+            columns[name] = {"string": "string", "number": "double", "bool": "boolean"}.get(
+                static_t
+            )
+
+    def drop_col(name: str) -> None:
+        current_cols.discard(name)
+        cc.dtypes.pop(name, None)
+        if isinstance(columns, dict):
+            columns.pop(name, None)
     for st in mapping.statements:
         if st.kind == "let":
             cc.vars[st.path[0]] = cc.compile(st.expr)
@@ -472,11 +606,11 @@ def compile_mapping_to_transform(mapping: Mapping, columns: set) -> CompiledMapp
         name = st.path[0]
         if isinstance(st.expr, Func) and st.expr.name == "deleted":
             steps.append(("drop", name))
-            current_cols.discard(name)
+            drop_col(name)
             continue
         col = cc.compile(st.expr)
         steps.append(("set", (name, col)))
-        current_cols.add(name)
+        add_col(name, _static_type(st.expr, cc))
 
     def transform(df):
         out = df

@@ -326,7 +326,8 @@ class Interpreter:
             r = get_int(right)
             if r == 0:
                 raise BloblangError("cannot modulo by zero")
-            return get_int(left) % r
+            # Go's % truncates toward zero (arithmetic.go mod): -7 % 3 == -1
+            return int(math.fmod(get_int(left), r))
         raise BloblangError(f"unknown operator {op}")
 
     # ---------------------------------------------------------- functions

@@ -115,9 +115,11 @@ class NativePipeline:
     can then route the pipeline through frame mode instead.
     """
 
-    def __init__(self, processors_conf: List[Dict[str, Any]], columns: set):
+    def __init__(self, processors_conf: List[Dict[str, Any]], columns):
+        """``columns``: set of names, or dict {name: spark_dtype} (pass
+        ``dict(df.dtypes)`` for static-type-aware Bloblang compilation)."""
         self.stages = []
-        cols = set(columns)
+        cols = dict(columns) if isinstance(columns, dict) else set(columns)
         for conf in processors_conf:
             ptype, body = _split_conf(conf)
             builder = getattr(self, f"_c_{ptype}", None)
@@ -179,7 +181,7 @@ class NativePipeline:
         segs = parse_interpolation(key_src)
         key_cols = [F.lit(s) if isinstance(s, str) else cc.compile(s).cast("string") for s in segs]
         key = F.concat(*key_cols) if len(key_cols) > 1 else key_cols[0]
-        cols.add("group_key")
+        _add_col(cols, "group_key", "string")
         return lambda df: df.withColumn("group_key", key).repartition(F.col("group_key"))
 
     def _c_sample(self, body, cols):
@@ -247,7 +249,8 @@ class NativePipeline:
             raise CompileError(f"unknown window kind {kind}")
 
         cols.clear()
-        cols.update({"win_start", "win_end", "url_host", "n_pages", "approx_urls", "total_chars", "max_ts"})
+        for c in ("win_start", "win_end", "url_host", "n_pages", "approx_urls", "total_chars", "max_ts"):
+            _add_col(cols, c, None)
         return t
 
     def _c_enrich(self, body, cols):
@@ -276,7 +279,7 @@ class NativePipeline:
         cases = []
         for c in body:
             cond = _compile_condition(c.get("condition", {"static": True}), cols)
-            sub = NativePipeline(c.get("processors", []), set(cols))
+            sub = NativePipeline(c.get("processors", []), _copy_cols(cols))
             cases.append((cond, sub, bool(c.get("fallthrough", False))))
             if c.get("fallthrough"):
                 raise CompileError("fallthrough switch not natively compiled")
@@ -297,8 +300,8 @@ class NativePipeline:
 
     def _c_conditional(self, body, cols):
         cond = _compile_condition(body.get("condition", {"static": True}), cols)
-        then = NativePipeline(body.get("processors", []), set(cols))
-        other = NativePipeline(body.get("else_processors", []), set(cols))
+        then = NativePipeline(body.get("processors", []), _copy_cols(cols))
+        other = NativePipeline(body.get("else_processors", []), _copy_cols(cols))
 
         def t(df):
             a = then(df.filter(cond))
@@ -306,6 +309,17 @@ class NativePipeline:
             return a.unionByName(b, allowMissingColumns=True)
 
         return t
+
+
+def _add_col(cols, name: str, dtype) -> None:
+    if isinstance(cols, dict):
+        cols[name] = dtype
+    else:
+        cols.add(name)
+
+
+def _copy_cols(cols):
+    return dict(cols) if isinstance(cols, dict) else set(cols)
 
 
 def _split_conf(conf: Dict[str, Any]):
@@ -401,7 +415,7 @@ def compile_or_frame(
     """Try native compilation; fall back to frame mode when the DataFrame is
     a message frame. Returns (result, mode)."""
     try:
-        pipe = NativePipeline(processors_conf, set(df.columns))
+        pipe = NativePipeline(processors_conf, dict(df.dtypes))
         return pipe(df), "native"
     except CompileError:
         if set(FRAME_SCHEMA.fieldNames()).issubset(set(df.columns)):

@@ -46,7 +46,7 @@ class Stream:
         self.mode = "native"
         if procs:
             try:
-                pipe = NativePipeline(procs, set(self.df.columns))
+                pipe = NativePipeline(procs, dict(self.df.dtypes))
                 self.df = pipe(self.df)
             except CompileError:
                 if not set(FRAME_SCHEMA.fieldNames()).issubset(self.df.columns):

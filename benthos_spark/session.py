@@ -49,7 +49,10 @@ def get_spark(
         # pre-size the heap: default tiny -Xms growing to -Xmx burns 25%+ of
         # CPU in kernel page-fault churn at high core counts (measured)
         .config("spark.driver.extraJavaOptions", f"-Xms{mem}")
-        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+        # NOTE: spark.sql.streaming.statefulOperator.checkCorrectness.enabled
+        # stays at its default (true). Pipelines that chain stateful operators
+        # in a shape Spark flags must opt out explicitly via extra_conf with a
+        # per-shape justification — never globally.
         # RocksDB state store: bounded memory + changelog-style commits beat
         # the HDFS-backed provider's full-snapshot-per-batch at large state
         .config(

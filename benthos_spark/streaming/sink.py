@@ -7,6 +7,14 @@ exactly-once: source offsets live in the checkpoint WAL, and this sink makes
 the write idempotent per micro-batch — a replayed ``batch_id`` is skipped via
 a commit log, so kill+restart produces identical sink contents.
 
+Commit markers, metrics, and data all go through the same filesystem
+abstraction as the data path: plain ``os`` for local roots, Hadoop
+``FileSystem`` (atomic rename) for scheme'd roots (``hdfs://``, ``s3a://``,
+``file://``) — so the idempotence protocol holds on a real multi-executor
+cluster, not just single-node local mode. All filesystem calls run on the
+driver (inside ``foreachBatch``), which is where Structured Streaming's own
+commit log lives too.
+
 Format: parquet directory laid out like an Iceberg table (data/ + commit
 log). The container has no Iceberg runtime jars; on a real cluster, swap
 ``_write_data`` for ``df.writeTo(table).append()`` inside the same commit
@@ -14,8 +22,8 @@ guard — the idempotence protocol is format-agnostic.
 
 Lineage columns appended to every row: ``_batch_id``, ``_partition_id``
 (spark_partition_id at write time), ``_ingest_win``. Metrics per micro-batch
-(rows in/out per partition) land in ``<root>/_metrics`` — the analogue of the
-reference's per-processor count/sent/dropped counters
+(total rows + per-partition row counts) land in ``<root>/_metrics`` — the
+analogue of the reference's per-processor count/sent/dropped counters
 (lib/processor/dedupe.go:194-201, lib/metrics/constructor.go:44-51).
 """
 
@@ -25,83 +33,180 @@ import json
 import os
 import time
 import uuid
-from typing import Callable, Optional
+from typing import Callable, List, Optional
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, functions as F
+
+
+class _LocalFS:
+    """Driver-local filesystem (default for schemeless roots)."""
+
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def listdir(self, d: str) -> List[str]:
+        return os.listdir(d) if os.path.isdir(d) else []
+
+    def read_text(self, p: str) -> str:
+        with open(p) as f:
+            return f.read()
+
+    def write_atomic(self, p: str, text: str) -> None:
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.rename(tmp, p)
+
+
+class _HadoopFS:
+    """Hadoop FileSystem-backed marker store (HDFS atomic rename; on object
+    stores rename is copy+delete but create-no-overwrite still makes replays
+    converge because markers are written once and never mutated)."""
+
+    def __init__(self, spark, root: str):
+        jvm = spark._jvm  # noqa: SLF001 — public Hadoop API via the gateway
+        self._jvm = jvm
+        self._path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._path(root).getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._path(p))
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._path(p))
+
+    def listdir(self, d: str) -> List[str]:
+        if not self.exists(d):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(self._path(d))]
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_atomic(self, p: str, text: str) -> None:
+        tmp = self._path(p + f".tmp-{uuid.uuid4().hex}")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if not self._fs.rename(tmp, self._path(p)):
+            raise IOError(f"atomic rename failed for commit marker {p}")
+
+
+def _is_local(root: str) -> bool:
+    return urlparse(root).scheme in ("", "file") and not root.startswith("file:")
 
 
 class IdempotentSink:
     def __init__(self, root: str, mode: str = "append"):
         self.root = root
-        self.data_dir = os.path.join(root, "data")
-        self.commits_dir = os.path.join(root, "_commits")
-        self.metrics_dir = os.path.join(root, "_metrics")
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.commits_dir, exist_ok=True)
-        os.makedirs(self.metrics_dir, exist_ok=True)
+        self.data_dir = _join(root, "data")
+        self.commits_dir = _join(root, "_commits")
+        self.metrics_dir = _join(root, "_metrics")
+        self._fs = _LocalFS() if _is_local(root) else None  # Hadoop FS bound lazily
+        if self._fs is not None:
+            for d in (self.data_dir, self.commits_dir, self.metrics_dir):
+                self._fs.mkdirs(d)
+
+    def _bind_fs(self, spark):
+        if self._fs is None:
+            self._fs = _HadoopFS(spark, self.root)
+            for d in (self.data_dir, self.commits_dir, self.metrics_dir):
+                self._fs.mkdirs(d)
+        return self._fs
 
     # ------------------------------------------------------------------
     def _commit_path(self, batch_id: int) -> str:
-        return os.path.join(self.commits_dir, f"{batch_id:020d}.json")
+        return _join(self.commits_dir, f"{batch_id:020d}.json")
 
     def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._commit_path(batch_id))
+        if self._fs is None:
+            raise RuntimeError("sink filesystem not bound yet (no batch written)")
+        return self._fs.exists(self._commit_path(batch_id))
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: idempotent commit keyed by batch_id."""
-        if self.is_committed(batch_id):
+        fs = self._bind_fs(df.sparkSession)
+        if fs.exists(self._commit_path(batch_id)):
             return  # replay after restart: already durable, skip
         staged = df.withColumn("_batch_id", F.lit(batch_id)).withColumn(
             "_partition_id", F.spark_partition_id()
         )
-        out_path = os.path.join(self.data_dir, f"batch_id={batch_id}")
-        # persist: the batch feeds two actions (count + write); without it the
-        # whole upstream micro-batch would execute twice
+        out_path = _join(self.data_dir, f"batch_id={batch_id}")
+        # persist: the batch feeds two actions (metrics + write); without it
+        # the whole upstream micro-batch would execute twice
         staged = staged.persist()
         try:
-            n_rows = staged.count()
+            part_rows = {
+                str(r["_partition_id"]): r["n"]
+                for r in staged.groupBy("_partition_id").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            n_rows = sum(part_rows.values())
             staged.write.mode("overwrite").parquet(out_path)
         finally:
             staged.unpersist()
         metrics = {
             "batch_id": batch_id,
             "rows": n_rows,
+            "rows_per_partition": part_rows,
             "ts": time.time(),
             "sink": self.root,
         }
-        with open(os.path.join(self.metrics_dir, f"{batch_id:020d}.json"), "w") as f:
-            json.dump(metrics, f)
+        fs.write_atomic(
+            _join(self.metrics_dir, f"{batch_id:020d}.json"), json.dumps(metrics)
+        )
         # commit marker written last: crash before this -> overwrite on replay
-        tmp = self._commit_path(batch_id) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "rows": n_rows}, f)
-        os.rename(tmp, self._commit_path(batch_id))
+        fs.write_atomic(
+            self._commit_path(batch_id), json.dumps({"batch_id": batch_id, "rows": n_rows})
+        )
 
     def foreach_batch(self) -> Callable:
         return lambda df, bid: self.write_batch(df, bid)
 
     # ------------------------------------------------------------------
     def read(self, spark) -> DataFrame:
-        """Read back only committed batches."""
+        """Read back only committed batches. A committed batch whose data
+        directory is missing is corruption (marker written after data), so it
+        raises instead of being silently dropped."""
+        fs = self._bind_fs(spark)
         committed = sorted(
-            int(fn.split(".")[0]) for fn in os.listdir(self.commits_dir) if fn.endswith(".json")
+            int(fn.split(".")[0])
+            for fn in fs.listdir(self.commits_dir)
+            if fn.endswith(".json") and ".tmp-" not in fn
         )
-        paths = [
-            os.path.join(self.data_dir, f"batch_id={b}")
-            for b in committed
-            if os.path.exists(os.path.join(self.data_dir, f"batch_id={b}"))
-        ]
-        if not paths:
+        if not committed:
             raise FileNotFoundError(f"no committed batches under {self.root}")
+        paths = []
+        for b in committed:
+            p = _join(self.data_dir, f"batch_id={b}")
+            if not fs.exists(p):
+                raise IOError(
+                    f"commit marker exists for batch {b} but data dir {p} is missing — "
+                    "sink is corrupt (markers are always written after data)"
+                )
+            paths.append(p)
         return spark.read.parquet(*paths)
 
-    def metrics(self) -> list:
+    def metrics(self, spark=None) -> list:
+        fs = self._fs if self._fs is not None else self._bind_fs(spark)
         out = []
-        for fn in sorted(os.listdir(self.metrics_dir)):
-            if fn.endswith(".json"):
-                with open(os.path.join(self.metrics_dir, fn)) as f:
-                    out.append(json.load(f))
+        for fn in sorted(fs.listdir(self.metrics_dir)):
+            if fn.endswith(".json") and ".tmp-" not in fn:
+                out.append(json.loads(fs.read_text(_join(self.metrics_dir, fn))))
         return out
+
+
+def _join(*segs: str) -> str:
+    return "/".join(s.rstrip("/") for s in segs)
 
 
 def run_to_sink(

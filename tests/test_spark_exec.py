@@ -193,3 +193,64 @@ class TestFrameStreaming:
         docs = [_json.loads(bytes(r["content"])) for r in got]
         assert all(d["doubled"] == d["v"] * 2 for d in docs)
         assert all(d["keep"] for d in docs)
+
+
+@pytest.mark.spark
+class TestCompilerSemantics:
+    """Regression tests for native-path semantics vs the reference/interpreter
+    (ADVICE round 1: literal escaping, ANSI arithmetic, truncated modulo)."""
+
+    def _map(self, spark, df, src):
+        from benthos_spark.bloblang.compiler import compile_mapping_to_transform
+        from benthos_spark.bloblang.parser import parse_mapping
+
+        t = compile_mapping_to_transform(parse_mapping(src), dict(df.dtypes))
+        return t(df)
+
+    def test_re_find_all_backslash_pattern(self, spark):
+        df = spark.createDataFrame([("ab12cd34",)], "text string")
+        out = self._map(spark, df, r'nums = text.re_find_all("\d+")').collect()
+        assert out[0]["nums"] == ["12", "34"]
+
+    def test_trim_cutset_special_chars(self, spark):
+        df = spark.createDataFrame([("\\'x'\\",)], "text string")
+        out = self._map(spark, df, r"""t = text.trim("\\'")""").collect()
+        assert out[0]["t"] == "x"
+
+    def test_string_plus_string_concats_via_dtypes(self, spark):
+        df = spark.createDataFrame([("foo", "bar")], "a string, b string")
+        out = self._map(spark, df, "c = a + b").collect()
+        assert out[0]["c"] == "foobar"
+
+    def test_number_plus_number(self, spark):
+        df = spark.createDataFrame([(3, 4.5)], "a long, b double")
+        out = self._map(spark, df, "c = a + b").collect()
+        assert out[0]["c"] == 7.5
+
+    def test_string_plus_number_is_compile_error(self, spark):
+        from benthos_spark.bloblang.compiler import CompileError
+
+        df = spark.createDataFrame([("x", 1)], "a string, b long")
+        with pytest.raises(CompileError):
+            self._map(spark, df, "c = a + b")
+
+    def test_arithmetic_on_bad_string_yields_null_not_abort(self, spark):
+        # ANSI mode would abort with CAST_INVALID_INPUT on plain cast
+        df = spark.createDataFrame([("oops",), ("7",)], "a string")
+        got = {r["a"]: r["c"] for r in self._map(spark, df, "c = a * 2").collect()}
+        assert got == {"oops": None, "7": 14.0}
+
+    def test_modulo_truncates_toward_zero(self, spark):
+        from benthos_spark.bloblang.interp import Interpreter, Part
+        from benthos_spark.bloblang.parser import parse_mapping
+
+        df = spark.createDataFrame([(-7, 3), (7, -3), (-7, -3), (7, 3)], "a long, b long")
+        out = self._map(spark, df, "m = a % b").orderBy("a", "b").collect()
+        got = {(r["a"], r["b"]): r["m"] for r in out}
+        assert got == {(-7, -3): -1, (-7, 3): -1, (7, -3): 1, (7, 3): 1}
+        # interpreter agrees (Go % semantics)
+        interp = Interpreter()
+        part = Part(b'{"a":-7,"b":3}', {})
+        res = interp.map_part(parse_mapping("root.m = this.a % this.b"), [part], 0)
+        import json as _json
+        assert _json.loads(res.content)["m"] == -1

@@ -278,3 +278,34 @@ class TestExactlyOnce:
         assert got.select("url").distinct().count() == want
         # lineage columns present on every committed row
         assert {"_batch_id", "_partition_id"}.issubset(set(got.columns))
+
+
+@pytest.mark.spark
+class TestSinkFilesystemAbstraction:
+    def test_hadoop_fs_markers_roundtrip(self, spark, tmp_path):
+        """file:// root routes markers through Hadoop FileSystem; protocol
+        must behave identically to the local-os path."""
+        from benthos_spark.streaming.sink import IdempotentSink
+
+        sink = IdempotentSink("file://" + str(tmp_path / "out"))
+        df = spark.range(10).withColumnRenamed("id", "v")
+        sink.write_batch(df, 0)
+        sink.write_batch(df, 0)  # replay: skipped, not duplicated
+        sink.write_batch(df, 1)
+        got = sink.read(spark)
+        assert got.count() == 20
+        m = sink.metrics(spark)
+        assert [x["batch_id"] for x in m] == [0, 1]
+        assert sum(m[0]["rows_per_partition"].values()) == 10
+
+    def test_committed_batch_with_missing_data_raises(self, spark, tmp_path):
+        import shutil
+
+        from benthos_spark.streaming.sink import IdempotentSink
+
+        sink = IdempotentSink(str(tmp_path / "out"))
+        df = spark.range(5).withColumnRenamed("id", "v")
+        sink.write_batch(df, 0)
+        shutil.rmtree(str(tmp_path / "out" / "data" / "batch_id=0"))
+        with pytest.raises(IOError):
+            sink.read(spark)
