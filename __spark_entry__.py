@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -89,64 +89,93 @@ def q_dedupe_first_seen(spark, sf_dir):
     return out.select("user_id", "event_type", "event_id")
 
 
+_SUM_VALUE_AGGS = [
+    {"fn": "count", "as": "n"},
+    {"fn": "sum", "col": "value", "cast": "decimal(18,2)", "out_cast": "double", "as": "sum_value"},
+]
+
+
 def q_group_by_value(spark, sf_dir):
+    """group_by_value stage (engine/spark_exec.py _c_group_by_value) + agg."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    pipe = NativePipeline(
+        [{"group_by_value": {"value": '${! json("event_type") }'}}], dict(ev.dtypes)
     )
-
-
-def q_window_tumbling(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        pipe(ev)
+        .groupBy(F.col("group_key").alias("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
-        .select(F.unix_timestamp("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_window_tumbling(spark, sf_dir):
+    """window stage (engine -> streaming/windows.py tumbling_agg)."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
+    ev = _t(spark, sf_dir, "events")
+    pipe = NativePipeline(
+        [{"window": {"kind": "tumbling", "size": "1 hour", "keys": ["event_type"],
+                     "ts_col": "ts", "aggs": _SUM_VALUE_AGGS}}],
+        dict(ev.dtypes),
+    )
+    return pipe(ev).select(
+        F.unix_timestamp("win_start").alias("win_start"), "event_type", "n", "sum_value"
     )
 
 
 def q_window_sliding(spark, sf_dir):
+    from benthos_spark.engine.spark_exec import NativePipeline
+
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.unix_timestamp("win.start").alias("win_start"), "event_type", "n")
+    pipe = NativePipeline(
+        [{"window": {"kind": "sliding", "size": "2 hours", "slide": "1 hour",
+                     "keys": ["event_type"], "ts_col": "ts",
+                     "aggs": [{"fn": "count", "as": "n"}]}}],
+        dict(ev.dtypes),
+    )
+    return pipe(ev).select(
+        F.unix_timestamp("win_start").alias("win_start"), "event_type", "n"
     )
 
 
 def q_window_session(spark, sf_dir):
+    from benthos_spark.engine.spark_exec import NativePipeline
+
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_timestamp("win.start").alias("sess_start"),
-            F.unix_timestamp("win.end").alias("sess_end"),
-            "n_events",
-        )
+    pipe = NativePipeline(
+        [{"window": {"kind": "session", "gap": "30 minutes", "keys": ["user_id"],
+                     "ts_col": "ts", "aggs": [{"fn": "count", "as": "n_events"}]}}],
+        dict(ev.dtypes),
+    )
+    return pipe(ev).select(
+        "user_id",
+        F.unix_timestamp("win_start").alias("sess_start"),
+        F.unix_timestamp("win_end").alias("sess_end"),
+        "n_events",
     )
 
 
 def q_window_keep_first(spark, sf_dir):
     """keep-first-of-window — the reference's batch_index()>0 => deleted()
-    idiom (config/test/bloblang_windowed.yaml) over event-time windows."""
+    idiom (config/test/bloblang_windowed.yaml) over event-time windows,
+    through the engine stage (streaming/windows.py keep_first_agg: min_by
+    algebraic aggregate, map-side combine, streaming-capable)."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy(F.window("ts", "1 hour"), "event_type").orderBy(
-        "ts", "event_id"
+    pipe = NativePipeline(
+        [{"window": {"kind": "keep_first", "size": "1 hour", "keys": ["event_type"],
+                     "ts_col": "ts", "tiebreak": ["event_id"],
+                     "payload": ["ts", "event_id"]}}],
+        dict(ev.dtypes),
     )
-    return (
-        ev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("win_start"),
-            "event_type",
-            "event_id",
-        )
+    return pipe(ev).select(
+        F.unix_timestamp("win_start").alias("win_start"), "event_type", "event_id"
     )
 
 
@@ -179,52 +208,84 @@ def q_switch_route(spark, sf_dir):
 
 
 def q_split_rebatch(spark, sf_dir):
+    """split stage (engine _c_split): group index from the distributed
+    global row number (ops/indexing.py) — one range exchange, never a
+    single-task global sort."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
     docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
+    pipe = NativePipeline(
+        [{"split": {"size": 10, "order_by": ["doc_id"]}}], dict(docs.dtypes)
+    )
     return (
-        docs.withColumn("rn", F.row_number().over(w) - 1)
-        .withColumn("batch", (F.col("rn") / 10).cast("long"))
+        pipe(docs)
         .groupBy("batch")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
     )
 
 
 def q_archive_lines(spark, sf_dir):
+    """archive stage (engine _c_archive): bounded-buffer digest tree —
+    chunk-level md5 over line-joined text, then md5 chain of chunk digests.
+    No unbounded collect_list of raw text in any aggregation buffer."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
     docs = _t(spark, sf_dir, "documents")
-    ordered = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.md5(F.array_join(F.transform(ordered, lambda s: s["text"]), "\n")).alias("payload_md5"),
+    pipe = NativePipeline(
+        [{"archive": {"format": "lines", "group_by": ["lang"],
+                      "order_col": "doc_id", "text_col": "text", "chunk": 64}}],
+        dict(docs.dtypes),
     )
+    return pipe(docs).select("lang", "n", "payload_md5")
 
 
 def q_json_extract(spark, sf_dir):
+    """json select stage (engine _c_json -> get_json_object in codegen)."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
     ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    pipe = NativePipeline(
+        [{"json": {"operator": "select", "column": "props", "path": "k",
+                   "result": "k", "cast": "int"}}],
+        dict(ev.dtypes),
     )
+    return pipe(ev).select("event_id", "k")
 
 
 def q_text_codecs(spark, sf_dir):
+    """Bloblang string/codec methods on the native path (compiler.py)."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.upper(F.substring("text", 1, 12)).alias("up"),
-        F.replace(F.substring("text", 1, 24), F.lit("a"), F.lit("@")).alias("repl"),
-        F.md5("text").alias("h_md5"),
-        F.sha2("text", 256).alias("h_sha"),
-        F.base64(F.encode(F.substring("text", 1, 9), "utf-8")).alias("b64"),
+    pipe = NativePipeline(
+        [
+            {
+                "bloblang": (
+                    "up = text.slice(0, 12).uppercase()\n"
+                    'repl = text.slice(0, 24).replace("a", "@")\n'
+                    'h_md5 = text.hash("md5").encode("hex")\n'
+                    'h_sha = text.hash("sha256").encode("hex")\n'
+                    'b64 = text.slice(0, 9).encode("base64")'
+                )
+            }
+        ],
+        dict(docs.dtypes),
     )
+    return pipe(docs).select("doc_id", "up", "repl", "h_md5", "h_sha", "b64")
 
 
 def q_try_catch_error_column(spark, sf_dir):
+    """try stage (engine _c_try): child mapping's failed rows carry the
+    error shadow column, mirroring the reference's failure metadata."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
     docs = _t(spark, sf_dir, "documents")
-    v = F.substring("text", 1, 2).try_cast("double")
-    return (
-        docs.withColumn("error", F.when(v.isNull(), F.lit("parse_failed")))
-        .groupBy("error")
-        .agg(F.count(F.lit(1)).alias("n"))
+    pipe = NativePipeline(
+        [{"try": {"processors": [{"bloblang": "v = text.slice(0, 2).number()"}],
+                  "error_when_null": ["v"], "error_value": "parse_failed"}}],
+        dict(docs.dtypes),
     )
+    return pipe(docs).groupBy("error").agg(F.count(F.lit(1)).alias("n"))
 
 
 def q_tpch_q1_agg(spark, sf_dir):
@@ -257,9 +318,16 @@ def q_enrich_join(spark, sf_dir):
 
 
 def q_bounds_check(spark, sf_dir):
+    """bounds_check stage (engine _c_bounds_check -> pushed-down filter)."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
     docs = _t(spark, sf_dir, "documents")
+    pipe = NativePipeline(
+        [{"bounds_check": {"column": "text", "min_part_size": 100, "max_part_size": 400}}],
+        dict(docs.dtypes),
+    )
     return (
-        docs.filter(F.length("text").between(100, 400))
+        pipe(docs)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
     )
@@ -275,13 +343,16 @@ def q_hash_sample(spark, sf_dir):
 
 
 def q_select_parts(spark, sf_dir):
+    """select_parts stage (engine _c_select_parts -> WindowGroupLimit
+    partial top-k before the shuffle)."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    return (
-        docs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("lang", "doc_id", "rk")
+    pipe = NativePipeline(
+        [{"select_parts": {"parts": [0, 1, 2], "group_by": ["lang"], "order_col": "doc_id"}}],
+        dict(docs.dtypes),
     )
+    return pipe(docs).select("lang", "doc_id", "rk")
 
 
 # --------------------------------------------------------------------------
@@ -525,9 +596,13 @@ def oracle_sql() -> dict[str, str]:
         from r group by 1
     """
     sql["archive_lines"] = """
-        select lang, count(*) as n,
-               md5(string_agg(text, chr(10) order by doc_id)) as payload_md5
-        from documents group by lang
+        with c1 as (
+          select lang, doc_id // 64 as k, count(*) as n,
+                 md5(string_agg(text, chr(10) order by doc_id)) as d
+          from documents group by lang, doc_id // 64
+        )
+        select lang, sum(n) as n, md5(string_agg(d, '' order by k)) as payload_md5
+        from c1 group by lang
     """
     sql["json_extract"] = """
         select event_id, json_extract_string(props, '$.k')::INT as k from events

@@ -305,9 +305,9 @@ class ColumnCompiler:
         if name == "string":
             return recv.cast("string")
         if name == "number":
-            out = F.try_cast(recv, "double") if hasattr(F, "try_cast") else recv.cast("double")
+            out = _num(recv)
             if args:
-                return F.coalesce(out, self.compile(args[0]).cast("double"))
+                return F.coalesce(out, _num(self.compile(args[0])))
             return out
         if name == "bool":
             return recv.cast("boolean")

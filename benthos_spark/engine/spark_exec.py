@@ -119,6 +119,10 @@ class NativePipeline:
         """``columns``: set of names, or dict {name: spark_dtype} (pass
         ``dict(df.dtypes)`` for static-type-aware Bloblang compilation)."""
         self.stages = []
+        # compile-time watermark tracking (Spark disallows redefining a
+        # watermark below another stateful operator; we know statically which
+        # stage added one — no runtime plan introspection)
+        self._watermarked = False
         cols = dict(columns) if isinstance(columns, dict) else set(columns)
         for conf in processors_conf:
             ptype, body = _split_conf(conf)
@@ -210,6 +214,7 @@ class NativePipeline:
         wm = body.get("watermark", "30 minutes")
         ttl = body.get("ttl_seconds")
         ts_col = body.get("ts_col", "warc_ts")
+        self._watermarked = True  # both streaming paths define the watermark
 
         def t(df):
             from ..streaming.dedupe import (
@@ -227,30 +232,196 @@ class NativePipeline:
         return t
 
     def _c_window(self, body, cols):
-        """Windowed aggregate stage: kind tumbling|sliding|session, keyed by
-        url_host (or an explicit key column); built-in aggs only."""
+        """Windowed aggregate stage: kind tumbling|sliding|session|keep_first.
+        Default key/ts are the pages schema (url_host / warc_ts); pass
+        ``keys``/``ts_col``/``aggs`` for any other table. Built-in Catalyst
+        aggregates only (map-side partial combine at any scale)."""
         kind = body.get("kind", "tumbling")
         size = body.get("size", "10 minutes")
-        wm = body.get("watermark", "30 minutes")
+        # a stage upstream already defined the watermark -> don't redefine
+        wm = None if self._watermarked else body.get("watermark", "30 minutes")
+        self._watermarked = True
+        keys = body.get("keys")
+        ts_col = body.get("ts_col", "warc_ts")
+        aggs_spec = body.get("aggs")
 
         def t(df):
             from ..streaming import windows as W
 
+            if keys is None:  # pages defaults
+                if kind == "tumbling":
+                    return W.tumbling_host_agg(df, size=size, watermark=wm)
+                if kind == "sliding":
+                    return W.sliding_host_agg(
+                        df, size=size, slide=body.get("slide", size), watermark=wm
+                    )
+                if kind == "session":
+                    return W.session_host_agg(df, gap=body.get("gap", size), watermark=wm)
+                if kind == "keep_first":
+                    return W.keep_first_of_window(df, size=size, watermark=wm)
+                raise CompileError(f"unknown window kind {kind}")
+            aggs = [_agg_col(s) for s in (aggs_spec or [{"fn": "count", "as": "n"}])]
             if kind == "tumbling":
-                return W.tumbling_host_agg(df, size=size, watermark=wm)
+                return W.tumbling_agg(df, size, keys, ts_col, aggs, watermark=wm)
             if kind == "sliding":
-                return W.sliding_host_agg(
-                    df, size=size, slide=body.get("slide", size), watermark=wm
+                return W.sliding_agg(
+                    df, size, body.get("slide", size), keys, ts_col, aggs, watermark=wm
                 )
             if kind == "session":
-                return W.session_host_agg(df, gap=body.get("gap", size), watermark=wm)
+                return W.session_agg(df, body.get("gap", size), keys, ts_col, aggs, watermark=wm)
             if kind == "keep_first":
-                return W.keep_first_of_window(df, size=size, watermark=wm)
+                return W.keep_first_agg(
+                    df, size, keys, ts_col,
+                    tiebreak=body.get("tiebreak"),
+                    payload=body.get("payload"),
+                    watermark=wm,
+                )
             raise CompileError(f"unknown window kind {kind}")
 
         cols.clear()
         for c in ("win_start", "win_end", "url_host", "n_pages", "approx_urls", "total_chars", "max_ts"):
             _add_col(cols, c, None)
+        return t
+
+    def _c_json(self, body, cols):
+        """Typed-mode json processor subset (lib/processor/json.go operator
+        table): 'select' extracts a dot-path from a JSON string column into a
+        typed column (get_json_object stays in codegen; try_cast keeps bad
+        documents NULL instead of aborting under ANSI)."""
+        op = body.get("operator", "select")
+        src = body.get("column", "content")
+        path = body.get("path", "")
+        dest = body.get("result", path.split(".")[-1] or "value")
+        if op == "select":
+            cast = body.get("cast")
+            _add_col(cols, dest, cast or "string")
+
+            def t(df):
+                c = F.get_json_object(F.col(src), "$." + path)
+                if cast:
+                    c = c.try_cast(cast) if hasattr(c, "try_cast") else c.cast(cast)
+                return df.withColumn(dest, c)
+
+            return t
+        if op == "delete":
+            return lambda df: df.drop(path)
+        raise CompileError(f"json operator {op} has no native compilation")
+
+    def _c_split(self, body, cols):
+        """Typed-mode split (lib/processor/split.go:38-53): re-batch rows into
+        deterministic size-N groups. With a ``batch_id`` column (frame model)
+        the split is batch-scoped exactly like the reference; otherwise the
+        group index derives from a *distributed* global row number
+        (ops/indexing.py) — never a single-task global sort."""
+        size = int(body.get("size", 1))
+        order_by = body.get("order_by") or ["seq"]
+        out_col = body.get("result", "batch")
+        _add_col(cols, out_col, "bigint")
+
+        def t(df):
+            if "batch_id" in df.columns and "seq" in df.columns:
+                # batch-scoped: chunk index within each source batch
+                return df.withColumn(
+                    out_col,
+                    F.col("batch_id") * F.lit(1 << 20)
+                    + F.floor(F.col("seq") / F.lit(size)).cast("long"),
+                )
+            from ..ops.indexing import global_row_number
+
+            idx = global_row_number(df, order_by, col_name="__rn")
+            return idx.withColumn(
+                out_col, F.floor(F.col("__rn") / F.lit(size)).cast("long")
+            ).drop("__rn")
+
+        return t
+
+    def _c_archive(self, body, cols):
+        """Typed-mode archive (lib/processor/archive.go:220-228 'lines'
+        semantics, digest form): concatenate each group's payloads in
+        ``order_col`` order and fingerprint the result. Implemented as a
+        bounded-buffer digest tree: level-1 groups of ``chunk`` adjacent keys
+        are line-joined and md5'd, then chunk digests are md5-chained per
+        group — no unbounded collect_list of raw text, every level is a
+        hash-agg with map-side combine."""
+        groups = body.get("group_by") or ["lang"]
+        order = body.get("order_col", "doc_id")
+        text = body.get("text_col", "text")
+        chunk = int(body.get("chunk", 4096))
+
+        def t(df):
+            ck = F.floor(F.col(order) / F.lit(chunk)).cast("long").alias("_chunk")
+            lvl1 = df.groupBy(*groups, ck).agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct(order, text))),
+                            lambda s: s[text],
+                        ),
+                        "\n",
+                    )
+                ).alias("_d"),
+            )
+            return lvl1.groupBy(*groups).agg(
+                F.sum("_n").alias("n"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("_chunk", "_d"))),
+                            lambda s: s["_d"],
+                        ),
+                        "",
+                    )
+                ).alias("payload_md5"),
+            )
+
+        cols.clear()
+        for c in (*groups, "n", "payload_md5"):
+            _add_col(cols, c, None)
+        return t
+
+    def _c_select_parts(self, body, cols):
+        """Typed-mode select_parts (lib/processor/select_parts.go): keep parts
+        at the given indices within each group. rank<=k filters trigger
+        Spark's WindowGroupLimit (partial top-k before the shuffle)."""
+        parts = [int(p) for p in body.get("parts", [0])]
+        if any(p < 0 for p in parts):
+            raise CompileError("negative part indices need batch sizes (frame mode)")
+        groups = body.get("group_by") or ["batch_id"]
+        order = body.get("order_col", "seq")
+        kmax = max(parts) + 1
+        _add_col(cols, "rk", "int")
+
+        def t(df):
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*groups).orderBy(order)
+            out = df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= kmax)
+            if set(parts) != set(range(kmax)):
+                out = out.filter((F.col("rk") - 1).isin(parts))
+            return out
+
+        return t
+
+    def _c_try(self, body, cols):
+        """Typed-mode try (lib/processor/try.go + error shadow column
+        SURVEY.md §2.10): run child stages; rows whose watched columns come
+        out NULL carry the error marker in the ``error`` column (the
+        reference's failure metadata), everything else flows on clean."""
+        sub = NativePipeline(body.get("processors", []), cols)
+        watch = body.get("error_when_null") or []
+        err_val = str(body.get("error_value", "processor_failed"))
+        _add_col(cols, "error", "string")
+
+        def t(df):
+            out = sub(df)
+            if watch:
+                pred = F.col(watch[0]).isNull()
+                for c in watch[1:]:
+                    pred = pred | F.col(c).isNull()
+                return out.withColumn("error", F.when(pred, F.lit(err_val)))
+            return out.withColumn("error", F.lit(None).cast("string"))
+
         return t
 
     def _c_enrich(self, body, cols):
@@ -309,6 +480,20 @@ class NativePipeline:
             return a.unionByName(b, allowMissingColumns=True)
 
         return t
+
+
+def _agg_col(spec: Dict[str, Any]):
+    """Agg spec -> Column: {"fn": "sum", "col": "value", "cast": "decimal(18,2)",
+    "out_cast": "double", "as": "sum_value"}. Built-in Catalyst aggregates only."""
+    fn = spec.get("fn", "count")
+    col = spec.get("col")
+    c = F.col(col) if col else F.lit(1)
+    if spec.get("cast"):
+        c = c.cast(spec["cast"])
+    e = F.count(c) if fn == "count" else getattr(F, fn)(c)
+    if spec.get("out_cast"):
+        e = e.cast(spec["out_cast"])
+    return e.alias(spec.get("as") or (fn if not col else f"{fn}_{col}"))
 
 
 def _add_col(cols, name: str, dtype) -> None:

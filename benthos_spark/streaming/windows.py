@@ -1,4 +1,4 @@
-"""Event-time windowing keyed by url-host (the north rule's first-class ops).
+"""Event-time windowing (the north rule's first-class ops).
 
 The reference's only windowing construct is the batch policy
 (/root/reference/lib/message/batch/policy.go:86-251 — count/bytes/period
@@ -8,6 +8,16 @@ here are built-in Catalyst aggregates (map-side partial aggregation, no
 Python), and every function works identically on batch and streaming
 DataFrames — the streaming variant only adds the watermark.
 
+Generic functions take explicit ``keys``/``ts_col``/``aggs``; the
+``*_host_agg`` wrappers keep the Common-Crawl pages defaults
+(url_host / warc_ts).
+
+Watermark policy: a watermark is added iff the DataFrame is streaming AND
+``watermark`` is not None. Callers chaining stateful operators (dedupe →
+window) must pass ``watermark=None`` downstream of the operator that already
+defined one — the spec compiler (engine/spark_exec.py NativePipeline) tracks
+this statically, so no runtime introspection of the analyzed plan is needed.
+
 Skew: hot hosts are handled by two-phase salted aggregation
 (``salted_host_window_agg``) — partial agg on (salt, host, window) then
 final agg on (host, window) — plus AQE skew handling at shuffle time.
@@ -15,22 +25,14 @@ final agg on (host, window) — plus AQE skew handling at shuffle time.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-def has_watermark(df: DataFrame) -> bool:
-    """True if an event-time watermark is already defined upstream (Spark
-    disallows redefining one below another stateful operator)."""
-    try:
-        return "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
-    except Exception:
-        return False
 
-
-def _with_watermark(df: DataFrame, watermark):
-    if watermark and df.isStreaming and not has_watermark(df):
-        return df.withWatermark("warc_ts", watermark)
+def _with_watermark(df: DataFrame, ts_col: str, watermark: Optional[str]) -> DataFrame:
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
     return df
 
 
@@ -54,6 +56,87 @@ _DEFAULT_AGGS = lambda: [  # noqa: E731
 ]
 
 
+def _select_window(out: DataFrame, keys: Sequence[str]) -> DataFrame:
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        *keys,
+        *[c for c in out.columns if c != "win" and c not in keys],
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    size: str,
+    keys: Sequence[str],
+    ts_col: str,
+    aggs: Sequence,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Tumbling window: groupBy(window(ts_col, size), *keys).agg(*aggs)."""
+    df = _with_watermark(df, ts_col, watermark)
+    out = df.groupBy(F.window(ts_col, size).alias("win"), *keys).agg(*aggs)
+    return _select_window(out, keys)
+
+
+def sliding_agg(
+    df: DataFrame,
+    size: str,
+    slide: str,
+    keys: Sequence[str],
+    ts_col: str,
+    aggs: Sequence,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    df = _with_watermark(df, ts_col, watermark)
+    out = df.groupBy(F.window(ts_col, size, slide).alias("win"), *keys).agg(*aggs)
+    return _select_window(out, keys)
+
+
+def session_agg(
+    df: DataFrame,
+    gap: str,
+    keys: Sequence[str],
+    ts_col: str,
+    aggs: Sequence,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Session window (gap-based); streaming requires a watermark upstream or
+    via the ``watermark`` arg."""
+    df = _with_watermark(df, ts_col, watermark)
+    out = df.groupBy(F.session_window(ts_col, gap).alias("win"), *keys).agg(*aggs)
+    return _select_window(out, keys)
+
+
+def keep_first_agg(
+    df: DataFrame,
+    size: str,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: Optional[Sequence[str]] = None,
+    payload: Optional[Sequence[str]] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """First row per (window, keys) by (ts_col, *tiebreak) — the reference's
+    ``batch_index() > 0 => deleted()`` idiom (config/test/bloblang_windowed.yaml)
+    generalized to event-time windows. Uses ``min_by`` (an algebraic aggregate
+    with map-side partial combine) rather than a row_number window — no
+    per-partition sort, works in streaming aggregation where row_number does
+    not."""
+    df = _with_watermark(df, ts_col, watermark)
+    payload = list(payload or [c for c in df.columns if c not in keys])
+    order = F.struct(ts_col, *(tiebreak or []))
+    out = df.groupBy(F.window(ts_col, size).alias("win"), *keys).agg(
+        F.min_by(F.struct(*payload), order).alias("__first")
+    )
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        *keys,
+        *[F.col(f"__first.{c}").alias(c) for c in payload],
+    )
+
+
+# ---------------------------------------------------------------- pages API
 def tumbling_host_agg(
     df: DataFrame,
     size: str = "10 minutes",
@@ -61,15 +144,8 @@ def tumbling_host_agg(
     aggs: Optional[Sequence] = None,
 ) -> DataFrame:
     """Tumbling window per host: groupBy(window(warc_ts, size), url_host)."""
-    df = _with_watermark(with_host(df), watermark)
-    out = df.groupBy(F.window("warc_ts", size).alias("win"), "url_host").agg(
-        *(aggs or _DEFAULT_AGGS())
-    )
-    return out.select(
-        F.col("win.start").alias("win_start"),
-        F.col("win.end").alias("win_end"),
-        "url_host",
-        *[c for c in out.columns if c not in ("win", "url_host")],
+    return tumbling_agg(
+        with_host(df), size, ["url_host"], "warc_ts", aggs or _DEFAULT_AGGS(), watermark
     )
 
 
@@ -80,15 +156,8 @@ def sliding_host_agg(
     watermark: Optional[str] = "30 minutes",
     aggs: Optional[Sequence] = None,
 ) -> DataFrame:
-    df = _with_watermark(with_host(df), watermark)
-    out = df.groupBy(F.window("warc_ts", size, slide).alias("win"), "url_host").agg(
-        *(aggs or _DEFAULT_AGGS())
-    )
-    return out.select(
-        F.col("win.start").alias("win_start"),
-        F.col("win.end").alias("win_end"),
-        "url_host",
-        *[c for c in out.columns if c not in ("win", "url_host")],
+    return sliding_agg(
+        with_host(df), size, slide, ["url_host"], "warc_ts", aggs or _DEFAULT_AGGS(), watermark
     )
 
 
@@ -98,18 +167,9 @@ def session_host_agg(
     watermark: Optional[str] = "30 minutes",
     aggs: Optional[Sequence] = None,
 ) -> DataFrame:
-    """Session window per host (gap-based); streaming requires a watermark."""
-    df = with_host(df)
-    if df.isStreaming and not has_watermark(df):
-        df = df.withWatermark("warc_ts", watermark or "30 minutes")
-    out = df.groupBy(F.session_window("warc_ts", gap).alias("win"), "url_host").agg(
-        *(aggs or _DEFAULT_AGGS())
-    )
-    return out.select(
-        F.col("win.start").alias("win_start"),
-        F.col("win.end").alias("win_end"),
-        "url_host",
-        *[c for c in out.columns if c not in ("win", "url_host")],
+    return session_agg(
+        with_host(df), gap, ["url_host"], "warc_ts", aggs or _DEFAULT_AGGS(),
+        watermark or "30 minutes",
     )
 
 
@@ -118,20 +178,15 @@ def keep_first_of_window(
     size: str = "10 minutes",
     watermark: Optional[str] = "30 minutes",
 ) -> DataFrame:
-    """First page per (window, host) — the reference's
-    ``batch_index() > 0 => deleted()`` idiom (config/test/bloblang_windowed.yaml)
-    generalized to event-time windows. Uses ``min_by`` (works in streaming agg
-    where row_number does not)."""
-    df = _with_watermark(with_host(df), watermark)
-    first = F.min_by(F.struct("url", "warc_ts", "text", "lang"), F.struct("warc_ts", "url")).alias("first_row")
-    out = df.groupBy(F.window("warc_ts", size).alias("win"), "url_host").agg(first)
-    return out.select(
-        F.col("win.start").alias("win_start"),
-        "url_host",
-        F.col("first_row.url").alias("url"),
-        F.col("first_row.warc_ts").alias("warc_ts"),
-        F.col("first_row.text").alias("text"),
-        F.col("first_row.lang").alias("lang"),
+    """First page per (window, host)."""
+    return keep_first_agg(
+        with_host(df),
+        size,
+        ["url_host"],
+        "warc_ts",
+        tiebreak=["url"],
+        payload=["url", "warc_ts", "text", "lang"],
+        watermark=watermark,
     )
 
 
@@ -149,7 +204,7 @@ def salted_host_window_agg(
     At 100 TB the phase-1 shuffle is the dominant cost; salting bounds the
     largest reducer at ~1/n_salt of the hottest host instead of 100% of it.
     """
-    df = _with_watermark(with_host(df), watermark)
+    df = _with_watermark(with_host(df), "warc_ts", watermark)
     salt = F.pmod(F.xxhash64("url"), F.lit(n_salt)).alias("salt")
     partial = df.groupBy(
         F.window("warc_ts", size).alias("win"), "url_host", salt

@@ -64,3 +64,63 @@ class TestPlanShape:
         assert "SortAggregate" not in plan
         # one partial+final hash agg pair, not an 8-way explode
         assert plan.count("Generate ") <= 2, plan
+
+
+@pytest.mark.spark
+class TestEngineStagePlans:
+    """Round-2 scale-killer guards: the engine stages behind the oracle
+    queries must keep the distributed plan shapes."""
+
+    def _docs(self, spark):
+        import os
+        return spark.read.parquet(os.path.join("/root/testdata/sf0.001", "documents.parquet"))
+
+    def test_split_has_no_single_partition_exchange(self, spark):
+        from benthos_spark.engine.spark_exec import NativePipeline
+
+        docs = self._docs(spark)
+        pipe = NativePipeline([{"split": {"size": 10, "order_by": ["doc_id"]}}], dict(docs.dtypes))
+        plan = plan_of(pipe(docs))
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "rangepartitioning" in plan.lower(), plan
+
+    def test_archive_is_two_level_hash_agg(self, spark):
+        from benthos_spark.engine.spark_exec import NativePipeline
+
+        docs = self._docs(spark)
+        pipe = NativePipeline(
+            [{"archive": {"group_by": ["lang"], "order_col": "doc_id",
+                          "text_col": "text", "chunk": 64}}],
+            dict(docs.dtypes),
+        )
+        plan = plan_of(pipe(docs))
+        assert "Exchange SinglePartition" not in plan, plan
+        # level-1 agg keyed by (lang, _chunk): raw text buffers bounded by chunk
+        assert "_chunk" in plan, plan
+        assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+    def test_select_parts_uses_window_group_limit(self, spark):
+        from benthos_spark.engine.spark_exec import NativePipeline
+
+        docs = self._docs(spark)
+        pipe = NativePipeline(
+            [{"select_parts": {"parts": [0, 1, 2], "group_by": ["lang"], "order_col": "doc_id"}}],
+            dict(docs.dtypes),
+        )
+        plan = plan_of(pipe(docs))
+        assert "WindowGroupLimit" in plan, plan
+
+    def test_global_row_number_matches_global_sort(self, spark):
+        from pyspark.sql import Window
+
+        from benthos_spark.ops.indexing import global_row_number
+
+        docs = self._docs(spark).select("doc_id")
+        fast = {r["doc_id"]: r["rn"] for r in global_row_number(docs, ["doc_id"]).collect()}
+        slow = {
+            r["doc_id"]: r["rn"]
+            for r in docs.withColumn(
+                "rn", F.row_number().over(Window.orderBy("doc_id")) - 1
+            ).collect()
+        }
+        assert fast == slow
