@@ -355,6 +355,197 @@ def q_select_parts(spark, sf_dir):
     return pipe(docs).select("lang", "doc_id", "rk")
 
 
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "lang", "type": "string"},
+        {"name": "head", "type": "string"},
+    ],
+}
+
+
+def q_avro_roundtrip(spark, sf_dir):
+    """avro processor (engine frame kernels; formats/avro.py pure-Python
+    codec, lib/processor/avro.go semantics): JSON -> Avro binary -> JSON
+    round-trip through the frame pipeline, fields re-extracted and compared
+    against a plain projection oracle."""
+    import json as _json
+
+    from benthos_spark.engine.spark_exec import run_frame_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.col("doc_id").alias("batch_id"),
+        F.lit(0).alias("seq"),
+        F.encode(
+            F.to_json(F.struct("doc_id", "lang", F.substring("text", 1, 16).alias("head"))),
+            "utf-8",
+        ).alias("content"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    out = run_frame_pipeline(
+        frame,
+        [
+            {"avro": {"operator": "from_json", "encoding": "binary",
+                      "schema": _json.dumps(_AVRO_SCHEMA)}},
+            {"avro": {"operator": "to_json", "encoding": "binary",
+                      "schema": _json.dumps(_AVRO_SCHEMA)}},
+        ],
+    )
+    doc = F.col("content").cast("string")
+    return out.select(
+        F.get_json_object(doc, "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object(doc, "$.lang").alias("lang"),
+        F.get_json_object(doc, "$.head").alias("head"),
+    )
+
+
+def q_jmespath_extract(spark, sf_dir):
+    """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
+    frame kernel, lib/processor/jmespath.go:142)."""
+    from benthos_spark.ops.jsonops import jmespath_query
+
+    ev = _t(spark, sf_dir, "events")
+    out = jmespath_query(ev, "props", "{k2: k, big: k > `5`}", result_col="r")
+    return out.select(
+        "event_id",
+        F.get_json_object("r", "$.k2").cast("int").alias("k2"),
+        F.get_json_object("r", "$.big").cast("boolean").alias("big"),
+    )
+
+
+def q_json_schema_validate(spark, sf_dir):
+    """json_schema validation (ops/jsonops.py; lib/processor/jsonschema.go:168)."""
+    from benthos_spark.ops.jsonops import json_schema_valid
+
+    ev = _t(spark, sf_dir, "events")
+    schema = {
+        "type": "object",
+        "properties": {"k": {"type": "integer", "minimum": 3}},
+        "required": ["k"],
+    }
+    out = json_schema_valid(ev, "props", schema, result_col="valid")
+    return out.groupBy("valid").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_batch_bytes(spark, sf_dir):
+    """batch policy byte_size trigger (engine _c_batch -> running-byte-sum
+    bucketing, lib/message/batch/policy.go:86-251)."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pipe = NativePipeline(
+        [{"batch": {"byte_size": 4096, "order_by": ["doc_id"], "size_col": "text"}}],
+        dict(docs.dtypes),
+    )
+    return (
+        pipe(docs)
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("total_chars"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming queries (drained with availableNow through the idempotent sink,
+# then read back — the driver oracle certifies the *streaming* path)
+# --------------------------------------------------------------------------
+
+def _events_stream(spark, sf_dir, extra_rows=None):
+    """Copy the events table into a temp dir (plus an optional sentinel file
+    written second) and open it as a file stream with TZ timestamps."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="bs_stream_src_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "0_events.parquet"))
+    if extra_rows is not None:
+        import glob as _glob
+
+        tmp_out = tempfile.mkdtemp(prefix="bs_sentinel_")
+        extra_rows.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = sorted(_glob.glob(os.path.join(tmp_out, "part-*.parquet")))[0]
+        shutil.copy(part, os.path.join(src, "1_sentinel.parquet"))
+    schema = spark.read.parquet(os.path.join(src, "0_events.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def q_streaming_dedupe_window(spark, sf_dir):
+    """The north-rule flagship shape, streaming end-to-end: file stream ->
+    watermark dedupe (dropDuplicatesWithinWatermark, key includes the hour so
+    the surviving row's window is deterministic) -> tumbling count per
+    event_type -> exactly-once idempotent sink -> read-back. A sentinel event
+    3h past max event-time advances the watermark so every real window closes
+    under availableNow."""
+    import tempfile
+
+    from benthos_spark.engine.spark_exec import NativePipeline
+    from benthos_spark.streaming.sink import IdempotentSink, run_to_sink
+
+    from datetime import timedelta
+
+    ev_batch = _t(spark, sf_dir, "events")
+    max_ts = ev_batch.agg(F.max("ts")).collect()[0][0]  # NTZ -> naive datetime, no tz shift
+    # watermark delay must cover the max in-key event-time gap (<1h, the key
+    # includes the hour) for complete dedupe; the sentinel sits past
+    # max + delay + window so every real window closes under availableNow
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + timedelta(hours=4), -1, "__flush", 0.0, "{}")], ev_batch.schema
+    )
+    stream = _events_stream(spark, sf_dir, extra_rows=sentinel)
+    stream = stream.withColumn("hr", F.date_trunc("hour", "ts"))
+    pipe = NativePipeline(
+        [
+            {"dedupe": {"keys": ["user_id", "event_type", "hr"],
+                        "watermark": "2 hours", "ts_col": "ts"}},
+            {"window": {"kind": "tumbling", "size": "1 hour", "keys": ["event_type"],
+                        "ts_col": "ts", "aggs": [{"fn": "count", "as": "n"}]}},
+        ],
+        dict(stream.dtypes),
+    )
+    sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_sink_"))
+    run_to_sink(pipe(stream), sink, tempfile.mkdtemp(prefix="bs_ckpt_"))
+    out = sink.read(spark)
+    return out.filter(F.col("event_type") != "__flush").select(
+        F.unix_timestamp("win_start").alias("win_start"), "event_type", "n"
+    )
+
+
+def q_streaming_join(spark, sf_dir):
+    """Stream-stream enrichment join within a watermark
+    (streaming/enrich.py enrich_stream): click events joined to error events
+    of the same user within the previous 30 minutes; inner time-bounded join
+    emits deterministically, drained exactly-once through the sink."""
+    import tempfile
+
+    from benthos_spark.streaming.enrich import enrich_stream
+    from benthos_spark.streaming.sink import IdempotentSink, run_to_sink
+
+    clicks = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("err_id"))
+    )
+    joined = enrich_stream(
+        clicks.select("user_id", "ts", "event_id"),
+        errors.withColumnRenamed("err_ts", "ts"),
+        on="user_id",
+        fact_ts="ts",
+        enrich_ts="ts",
+        watermark="1 hour",
+        join_window="30 minutes",
+    )
+    sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_sinkj_"))
+    run_to_sink(joined, sink, tempfile.mkdtemp(prefix="bs_ckptj_"))
+    out = sink.read(spark)
+    return out.select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("e_err_id").alias("err_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data operator suite
 # --------------------------------------------------------------------------
@@ -463,6 +654,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounds_check": q_bounds_check,
         "hash_sample": q_hash_sample,
         "select_parts": q_select_parts,
+        "avro_roundtrip": q_avro_roundtrip,
+        "jmespath_extract": q_jmespath_extract,
+        "json_schema_validate": q_json_schema_validate,
+        "batch_bytes": q_batch_bytes,
+        "streaming_dedupe_window": q_streaming_dedupe_window,
+        "streaming_join": q_streaming_join,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -653,6 +850,45 @@ def oracle_sql() -> dict[str, str]:
                      row_number() over (partition by lang order by doc_id) as rk
                    from documents)
         select lang, doc_id, rk from r where rk <= 3
+    """
+    sql["avro_roundtrip"] = """
+        select doc_id, lang, substring(text, 1, 16) as head from documents
+    """
+    sql["jmespath_extract"] = """
+        select event_id, json_extract_string(props, '$.k')::INT as k2,
+               json_extract_string(props, '$.k')::INT > 5 as big
+        from events
+    """
+    sql["json_schema_validate"] = """
+        select (json_extract_string(props, '$.k') is not null
+                and json_extract_string(props, '$.k')::INT >= 3) as valid,
+               count(*) as n
+        from events group by 1
+    """
+    sql["batch_bytes"] = """
+        with c as (
+          select doc_id, length(text) as L,
+                 sum(length(text)) over (order by doc_id
+                   rows between unbounded preceding and current row) as cum
+          from documents
+        )
+        select (cum - 1) // 4096 as batch, count(*) as n, sum(L) as total_chars
+        from c group by 1
+    """
+    sql["streaming_dedupe_window"] = """
+        with d as (
+          select distinct date_trunc('hour', ts) as hr, event_type, user_id
+          from events
+        )
+        select epoch(hr)::BIGINT as win_start, event_type, count(*) as n
+        from d group by 1, 2
+    """
+    sql["streaming_join"] = """
+        select c.user_id, c.event_id as click_id, e.event_id as err_id
+        from events c join events e
+          on c.user_id = e.user_id
+         and c.event_type = 'click' and e.event_type = 'error'
+         and e.ts <= c.ts and e.ts >= c.ts - interval 30 minute
     """
     sql["dedup_exact"] = (
         "select md5(" + _SQL_NORM.format(c="text") + ") as text_hash,"

@@ -254,6 +254,94 @@ class CheckFieldCond(Condition):
         return self.child.check([fake], 0, interp)
 
 
+class JMESPathCond(Condition):
+    """jmespath: query must evaluate to boolean true
+    (lib/condition/jmespath.go:127-160; parse/search errors -> False)."""
+
+    def __init__(self, conf: Any):
+        import jmespath as _jp
+
+        if isinstance(conf, str):
+            conf = {"query": conf}
+        self.query = _jp.compile(conf.get("query", ""))
+        self.part = int(conf.get("part", 0))
+
+    def check(self, parts, index, interp):
+        i = self.part if self.part >= 0 else len(parts) + self.part
+        if i < 0 or i >= len(parts):
+            return False
+        try:
+            doc = parse_json(parts[i].content)
+            result = self.query.search(doc)
+        except Exception:
+            return False
+        return result is True
+
+
+class JSONSchemaCond(Condition):
+    """json_schema: True iff the document validates
+    (lib/condition/jsonschema.go)."""
+
+    def __init__(self, conf: Dict[str, Any]):
+        import jsonschema as _js
+
+        schema = conf.get("schema")
+        if schema is None and conf.get("schema_path"):
+            path = str(conf["schema_path"])
+            if not path.startswith("file://"):
+                raise ValueError("schema_path must start with file://")
+            with open(path[len("file://"):]) as f:
+                schema = f.read()
+        if isinstance(schema, (str, bytes)):
+            schema = parse_json(schema if isinstance(schema, bytes) else schema.encode())
+        self.validator = _js.Draft7Validator(schema)
+        self.part = int(conf.get("part", 0))
+
+    def check(self, parts, index, interp):
+        i = self.part if self.part >= 0 else len(parts) + self.part
+        if i < 0 or i >= len(parts):
+            return False
+        try:
+            doc = parse_json(parts[i].content)
+        except Exception:
+            return False
+        return not any(True for _ in self.validator.iter_errors(doc))
+
+
+class CheckInterpolationCond(Condition):
+    """check_interpolation: resolve a ${! } interpolated string, then test the
+    result against a child condition (lib/condition/check_interpolation.go)."""
+
+    def __init__(self, conf: Dict[str, Any]):
+        from ..bloblang.interp import InterpolatedField
+
+        self.field = InterpolatedField(str(conf.get("value", "")))
+        self.child = build_condition(conf.get("condition", {"static": False}))
+
+    def check(self, parts, index, interp):
+        try:
+            resolved = self.field.resolve(interp, parts, index)
+        except BloblangError:
+            return False
+        fake = Part(resolved.encode(), dict(parts[index].meta))
+        return self.child.check([fake], 0, interp)
+
+
+class ResourceCond(Condition):
+    """resource: delegate to a named condition in the resource registry
+    (lib/condition/resource.go). Registry reachable via the interpreter's
+    bound resources (set by engine.processors.Env)."""
+
+    def __init__(self, conf: Any):
+        self.target = conf if isinstance(conf, str) else conf.get("name", "")
+
+    def check(self, parts, index, interp):
+        resources = getattr(interp, "resources", None)
+        if resources is None or self.target not in resources.conditions:
+            raise ValueError(f"condition resource {self.target} not found")
+        return resources.conditions[self.target].check(parts, index, interp)
+
+
 def build_condition(conf: Any) -> Condition:
     """Build a condition from its YAML dict {type: {...}} or {type, ...}."""
     if isinstance(conf, Condition):
@@ -286,6 +374,14 @@ def build_condition(conf: Any) -> Condition:
         return ProcessorFailedCond(body)
     if ctype == "check_field":
         return CheckFieldCond(body)
+    if ctype == "check_interpolation":
+        return CheckInterpolationCond(body)
+    if ctype == "jmespath":
+        return JMESPathCond(body)
+    if ctype == "json_schema":
+        return JSONSchemaCond(body)
+    if ctype == "resource":
+        return ResourceCond(body)
     if ctype in ("and", "or", "xor"):
         return BoolCombCond(ctype, [build_condition(c) for c in body])
     if ctype == "not":

@@ -108,6 +108,8 @@ class Env:
     def __init__(self, interp: Optional[Interpreter] = None, resources: Optional[Resources] = None):
         self.interp = interp or Interpreter()
         self.resources = resources or Resources()
+        # resource-condition lookups reach the registry via the interpreter
+        self.interp.resources = self.resources
 
 
 def flag_err(part: Part, msg: str = "failed") -> Part:

@@ -303,6 +303,117 @@ def _elem_to_obj(elem) -> Any:
     return obj if obj else None
 
 
+class JMESPathProc(Processor):
+    """jmespath: run a JMESPath query on the JSON document and REPLACE the
+    payload with the result (lib/processor/jmespath.go:142-175); parse/search
+    failures flag the part failed."""
+
+    name = "jmespath"
+
+    def __init__(self, conf: Any):
+        import jmespath as _jp
+
+        query = conf if isinstance(conf, str) else conf.get("query", "")
+        self.query = _jp.compile(query)
+
+    def process(self, batch: Batch, env) -> List[Batch]:
+        out: Batch = []
+        for part in batch:
+            try:
+                doc = parse_json(part.content)
+            except Exception as exc:
+                out.append(flag_err(part.copy(), f"failed to parse part into json: {exc}"))
+                continue
+            try:
+                result = self.query.search(doc)
+            except Exception as exc:
+                out.append(flag_err(part.copy(), f"failed to search json: {exc}"))
+                continue
+            out.append(Part(to_bytes_payload(result), dict(part.meta)))
+        return [out]
+
+
+class JSONSchemaProc(Processor):
+    """json_schema: validate the JSON document against a schema WITHOUT
+    changing the payload (lib/processor/jsonschema.go:168-216); invalid parts
+    carry the aggregated validation errors in the failure flag."""
+
+    name = "json_schema"
+
+    def __init__(self, conf: Dict[str, Any]):
+        import jsonschema as _js
+
+        schema = conf.get("schema")
+        if schema is None and conf.get("schema_path"):
+            path = str(conf["schema_path"])
+            if not path.startswith("file://"):
+                raise ValueError("schema_path must start with file:// (jsonschema.go:230)")
+            with open(path[len("file://"):]) as f:
+                schema = f.read()
+        if isinstance(schema, (str, bytes)):
+            schema = parse_json(schema if isinstance(schema, bytes) else schema.encode())
+        self.validator = _js.Draft7Validator(schema)
+
+    def process(self, batch: Batch, env) -> List[Batch]:
+        out: Batch = []
+        for part in batch:
+            try:
+                doc = parse_json(part.content)
+            except Exception as exc:
+                out.append(flag_err(part.copy(), f"failed to parse part into json: {exc}"))
+                continue
+            errs = sorted(self.validator.iter_errors(doc), key=lambda e: list(e.path))
+            if errs:
+                msg = ", ".join(
+                    f"{'.'.join(str(s) for s in e.path) or '(root)'}: {e.message}"
+                    for e in errs
+                )
+                out.append(flag_err(part.copy(), msg))
+            else:
+                out.append(part)
+        return [out]
+
+
+class AvroProc(Processor):
+    """avro: to_json / from_json over textual|binary|single encodings
+    (lib/processor/avro.go:78-170), backed by the self-contained codec in
+    benthos_spark.formats.avro. Failures flag the part failed."""
+
+    name = "avro"
+
+    def __init__(self, conf: Dict[str, Any]):
+        from ..formats.avro import Codec
+
+        schema = conf.get("schema")
+        if schema is None and conf.get("schema_path"):
+            path = str(conf["schema_path"])
+            if not path.startswith("file://"):
+                raise ValueError("schema_path must start with file:// or http:// (avro.go:230)")
+            with open(path[len("file://"):]) as f:
+                schema = f.read()
+        self.codec = Codec(schema)
+        self.operator = conf.get("operator", "to_json")
+        self.encoding = conf.get("encoding", "textual")
+        if self.operator not in ("to_json", "from_json"):
+            raise ValueError(f"operator not recognised: {self.operator}")
+
+    def process(self, batch: Batch, env) -> List[Batch]:
+        out: Batch = []
+        for part in batch:
+            try:
+                if self.operator == "to_json":
+                    native = self.codec.decode(part.content, self.encoding)
+                    out.append(Part(to_bytes_payload(native), dict(part.meta)))
+                else:
+                    doc = parse_json(part.content)
+                    out.append(
+                        Part(self.codec.encode(doc, self.encoding), dict(part.meta))
+                    )
+            except Exception as exc:
+                out.append(flag_err(part.copy(), f"avro operator failed: {exc}"))
+        return [out]
+
+
 _REGISTRY.update(
     {
         "process_map": ProcessMapProc,
@@ -311,5 +422,8 @@ _REGISTRY.update(
         "grok": GrokProc,
         "parse_log": ParseLogProc,
         "xml": XmlProc,
+        "jmespath": JMESPathProc,
+        "json_schema": JSONSchemaProc,
+        "avro": AvroProc,
     }
 )

@@ -335,6 +335,40 @@ class NativePipeline:
 
         return t
 
+    def _c_batch(self, body, cols):
+        """Typed-mode batch policy (lib/message/batch/policy.go:86-251): the
+        count trigger maps to size-N bucketing (see _c_split), the byte_size
+        trigger to running-byte-sum bucketing — each batch holds consecutive
+        rows whose cumulative payload stays within ``byte_size``. The period
+        trigger is a streaming trigger (spec layer), not a plan op."""
+        count = int(body.get("count", 0))
+        byte_size = int(body.get("byte_size", 0))
+        order_by = body.get("order_by") or ["seq"]
+        size_col = body.get("size_col", "content")
+        out_col = body.get("result", "batch")
+        if not count and not byte_size:
+            raise CompileError("batch policy needs count or byte_size")
+        if count and not byte_size:
+            return self._c_split(
+                {"size": count, "order_by": order_by, "result": out_col}, cols
+            )
+        _add_col(cols, out_col, "bigint")
+
+        def t(df):
+            from ..ops.indexing import global_running_sum
+
+            cum = global_running_sum(
+                df, order_by, F.length(F.col(size_col)), col_name="__cum"
+            )
+            # bucket by the running sum *before* this row joined: a batch
+            # closes once its cumulative bytes reach byte_size
+            return cum.withColumn(
+                out_col,
+                F.floor((F.col("__cum") - 1) / F.lit(byte_size)).cast("long"),
+            ).drop("__cum")
+
+        return t
+
     def _c_archive(self, body, cols):
         """Typed-mode archive (lib/processor/archive.go:220-228 'lines'
         semantics, digest form): concatenate each group's payloads in

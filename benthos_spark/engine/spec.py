@@ -13,6 +13,7 @@ Supported spec:
 
     input:
       parquet: {path: ...}                  # batch table scan
+      file:    {path: ..., delimiter: ..., multipart: bool}  # line/multipart frames
       stream:  {path: ..., max_files_per_trigger: N}   # file stream
       generate: {rows: N, fixture: pages, ...}         # deterministic fixture
       inline:  {rows: [...], schema: ...}   # tests
@@ -51,6 +52,13 @@ class Stream:
             except CompileError:
                 if not set(FRAME_SCHEMA.fieldNames()).issubset(self.df.columns):
                     raise
+                # fail fast on bad configs (the reference validates at startup,
+                # lib/config/config.go:177) instead of at first action on an
+                # executor
+                from .processors import build_processor
+
+                for p in procs:
+                    build_processor(p)
                 self.df = run_frame_pipeline(self.df, procs)
                 self.mode = "frame"
 
@@ -62,6 +70,15 @@ class Stream:
         body = body or {}
         if kind == "parquet":
             return self.spark.read.parquet(body["path"])
+        if kind in ("file", "files"):
+            from ..streaming.source import file_lines_input
+
+            return file_lines_input(
+                self.spark,
+                body["path"],
+                delimiter=body.get("delimiter") or "\n",
+                multipart=bool(body.get("multipart", False)),
+            )
         if kind == "stream":
             from ..streaming.source import pages_file_stream
 

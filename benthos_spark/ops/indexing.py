@@ -54,3 +54,45 @@ def global_row_number(
         .withColumn(col_name, F.row_number().over(w) - 1 + F.col("_off"))
         .drop("_pid", "_off")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: List[str],
+    value_col,
+    col_name: str = "cum",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Append an inclusive running sum of ``value_col`` ordered by
+    ``order_cols`` — same two-phase shape as :func:`global_row_number`
+    (range exchange + K-row offset collect), used for byte-size batch
+    bucketing (lib/message/batch/policy.go:86-251 size policy re-expressed
+    as running-sum bucketing, SURVEY.md §2.5)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_v", val.cast("long"))
+        .persist()
+    )
+    sums = sorted(
+        (r["_pid"], r["_s"])
+        for r in ranged.groupBy("_pid").agg(F.sum("_v").alias("_s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in sums:
+        offsets.append((pid, acc))
+        acc += int(s or 0)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(col_name, F.sum("_v").over(w) + F.col("_off"))
+        .drop("_pid", "_off", "_v")
+    )

@@ -70,3 +70,71 @@ def write_pages_input(
         full.filter(f"seq >= {lo} AND seq < {hi}").coalesce(1).write.mode(
             "append"
         ).parquet(path)
+
+
+def file_lines_input(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = "\n",
+    multipart: bool = False,
+) -> DataFrame:
+    """file input with custom delimiter + multipart batching
+    (/root/reference/lib/input/file.go:38-89 + lib/input/reader/lines.go:185-215):
+    the payload splits on ``delimiter``; without multipart every non-empty
+    segment is its own single-part batch (empty segments skipped); with
+    multipart an empty segment flushes the current batch, and a trailing
+    unterminated batch flushes at EOF.
+
+    Output is the schemaless message-frame schema (batch_id, seq, content,
+    meta) — ``meta['path']`` carries the source file. Parallelism unit = one
+    file per task (the reference reads one file in one goroutine; here N
+    files decode in parallel and batch ids stay deterministic via the sorted
+    file ordinal in the high bits)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from ..engine.spark_exec import FRAME_OUT_SCHEMA, FRAME_SCHEMA  # noqa: F401
+
+    if os.path.isdir(path):
+        paths = sorted(p for p in _glob.glob(os.path.join(path, "*")) if os.path.isfile(p))
+    elif any(ch in path for ch in "*?["):
+        paths = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+    else:
+        paths = [path]
+    fid = {os.path.abspath(p): i for i, p in enumerate(paths)}
+    delim_b = delimiter.encode("utf-8")
+
+    raw = spark.read.format("binaryFile").load(paths)
+
+    def split_files(pdf_iter):
+        import pandas as pd
+        from urllib.parse import unquote, urlparse
+
+        for pdf in pdf_iter:
+            rows = []
+            for uri, content in zip(pdf["path"], pdf["content"]):
+                local = unquote(urlparse(str(uri)).path)
+                base = fid[os.path.abspath(local)] << 32
+                segs = bytes(content).split(delim_b)
+                if segs and segs[-1] == b"":
+                    segs.pop()  # trailing delimiter, not an empty segment
+                meta = {"path": local}
+                if multipart:
+                    bidx, seq = 0, 0
+                    for seg in segs:
+                        if len(seg) == 0:
+                            if seq > 0:
+                                bidx += 1
+                                seq = 0
+                            continue
+                        rows.append((base + bidx, seq, seg, meta))
+                        seq += 1
+                else:
+                    for seg in segs:
+                        if len(seg) == 0:
+                            continue
+                        rows.append((base + len(rows), 0, seg, meta))
+            yield pd.DataFrame(rows, columns=["batch_id", "seq", "content", "meta"])
+
+    return raw.select("path", "content").mapInPandas(split_files, FRAME_SCHEMA)

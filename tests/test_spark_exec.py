@@ -254,3 +254,54 @@ class TestCompilerSemantics:
         res = interp.map_part(parse_mapping("root.m = this.a % this.b"), [part], 0)
         import json as _json
         assert _json.loads(res.content)["m"] == -1
+
+
+@pytest.mark.spark
+class TestFileLinesInput:
+    """file input with custom delimiter + multipart (lib/input/file.go:38-89,
+    lib/input/reader/lines.go:185-215) replayed through frame mode."""
+
+    def test_multipart_blank_line_batches(self, spark, tmp_path):
+        from benthos_spark.engine.spec import run_spec
+
+        p = tmp_path / "in.txt"
+        p.write_text("a1\na2\n\nb1\n\nc1\nc2\nc3\n")
+        out = run_spec(spark, {
+            "input": {"file": {"path": str(p), "multipart": True}},
+            "pipeline": {"processors": [
+                {"bloblang": "root.joined = content().string()\nroot.idx = batch_index()\nroot.n = batch_size()\nroot = match { batch_index() > 0 => deleted() }"},
+            ]},
+            "output": {"memory": {}},
+        }).collect()
+        got = sorted(json.loads(bytes(r["content"]))["joined"] for r in out)
+        sizes = {json.loads(bytes(r["content"]))["joined"]: json.loads(bytes(r["content"]))["n"] for r in out}
+        assert got == ["a1", "b1", "c1"]
+        assert sizes == {"a1": 2, "b1": 1, "c1": 3}
+
+    def test_single_part_lines_skip_empty(self, spark, tmp_path):
+        from benthos_spark.streaming.source import file_lines_input
+
+        p = tmp_path / "in.txt"
+        p.write_text("x\n\ny\nz\n")
+        rows = file_lines_input(spark, str(p)).collect()
+        assert sorted(bytes(r["content"]).decode() for r in rows) == ["x", "y", "z"]
+        # each line its own batch
+        assert len({r["batch_id"] for r in rows}) == 3
+
+    def test_custom_delimiter(self, spark, tmp_path):
+        from benthos_spark.streaming.source import file_lines_input
+
+        p = tmp_path / "in.txt"
+        p.write_text("a|b|c")
+        rows = file_lines_input(spark, str(p), delimiter="|").collect()
+        assert sorted(bytes(r["content"]).decode() for r in rows) == ["a", "b", "c"]
+
+    def test_multiple_files_deterministic_batch_ids(self, spark, tmp_path):
+        from benthos_spark.streaming.source import file_lines_input
+
+        (tmp_path / "f1.txt").write_text("a\nb\n")
+        (tmp_path / "f2.txt").write_text("c\n")
+        rows = file_lines_input(spark, str(tmp_path)).collect()
+        by_content = {bytes(r["content"]).decode(): r["batch_id"] for r in rows}
+        assert by_content["a"] >> 32 == 0 and by_content["c"] >> 32 == 1
+        assert rows[0]["meta"]["path"].endswith(".txt")
