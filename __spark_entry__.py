@@ -575,9 +575,23 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_neardup_embedding(spark, sf_dir):
+    """EXACT all-pairs baseline (quadratic by construction, kept as the
+    named oracle baseline — q_neardup_lsh is the scale-path default)."""
     from benthos_spark.ops.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64)
+
+
+def q_neardup_lsh(spark, sf_dir):
+    """Scale-path near-dup default: SRP-banded candidates (equi-join on
+    (band, bucket), numpy-matmul bucketing) -> exact cosine re-rank. Fully
+    value-checked: the oracle embeds the identical md5-derived plane
+    literals, so both engines compute the same buckets."""
+    from benthos_spark.ops.similarity import neardup_lsh_rerank
+
+    return neardup_lsh_rerank(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, bands=32, planes_per_band=4, dim=64
+    )
 
 
 def q_ann_topk(spark, sf_dir):
@@ -588,10 +602,22 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Banded SRP-LSH ANN with a full value oracle (same plane literals on
+    both engines) — no longer a rows-only check."""
     from benthos_spark.ops.similarity import ann_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
+    return ann_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, bands=32, planes_per_band=4, dim=64
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Banded simhash near-dup pairs (pigeonhole halves -> equi-join, exact
+    hamming re-rank) — the bucketed sibling of dedup_simhash."""
+    from benthos_spark.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), bits=16, max_hamming=2)
 
 
 def q_lang_id(spark, sf_dir):
@@ -661,10 +687,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedupe_window": q_streaming_dedupe_window,
         "streaming_join": q_streaming_join,
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ngram_jaccard_exact_baseline": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "neardup_embedding": q_neardup_embedding,
+        "simhash_pairs": q_simhash_pairs,
+        "neardup_embedding_exact_baseline": q_neardup_embedding,
+        "neardup_lsh": q_neardup_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "lang_id": q_lang_id,
@@ -679,10 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles (shared deterministic formulas)
 # --------------------------------------------------------------------------
 
-_SQL_NORM = (
-    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
-    " ' +', ' ', 'g'))"
-)
+_SQL_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 
 
 def _sql_tokens(c: str) -> str:
@@ -735,6 +760,30 @@ _SQL_COS = (
     " / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
     " * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))"
 )
+
+
+def _srp_buckets_sql(bands=32, planes=4, dim=64, seed=42, table="embeddings"):
+    """Per-row (band, bucket) rows with the SAME md5-derived plane literals
+    the Spark op embeds (ops/similarity.py srp_planes) — the LSH bucketing is
+    therefore reproduced exactly by the oracle."""
+    from benthos_spark.ops.similarity import srp_planes
+
+    selects = []
+    for b in range(bands):
+        pw = srp_planes(dim, planes, seed=seed * 1000 + b)
+        terms = []
+        for p in range(planes):
+            wl = "[" + ",".join(repr(w) for w in pw[p]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {wl}::DOUBLE[]) >= 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        selects.append(
+            f"select vec_id, embedding, {b} as band, ("
+            + " + ".join(terms)
+            + f") as bucket from {table}"
+        )
+    return " union all ".join(selects)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -894,7 +943,7 @@ def oracle_sql() -> dict[str, str]:
         "select md5(" + _SQL_NORM.format(c="text") + ") as text_hash,"
         " min(doc_id) as keep_id, count(*) as n_dups from documents group by 1"
     )
-    sql["dedup_ngram_jaccard"] = (
+    sql["ngram_jaccard_exact_baseline"] = (
         _SQL_BIGRAMS
         + """,
         sz as (select doc_id, count(*) sz from sh group by 1),
@@ -922,10 +971,42 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     sql["dedup_simhash"] = _SQL_SIMHASH
-    sql["neardup_embedding"] = (
+    sql["simhash_pairs"] = (
+        "with base as (" + _SQL_SIMHASH + "),\n"
+        "sh2 as (select id, simhash, simhash & 255 as b0, simhash >> 8 as b1 from base),\n"
+        "pairs as (\n"
+        "  select a.id id_a, b.id id_b, a.simhash sa, b.simhash sb\n"
+        "  from sh2 a join sh2 b on a.b0 = b.b0 and a.id < b.id\n"
+        "  union\n"
+        "  select a.id, b.id, a.simhash, b.simhash\n"
+        "  from sh2 a join sh2 b on a.b1 = b.b1 and a.id < b.id\n"
+        ")\n"
+        "select distinct id_a, id_b, bit_count(xor(sa, sb)) as hamming\n"
+        "from pairs where bit_count(xor(sa, sb)) <= 2"
+    )
+    sql["neardup_embedding_exact_baseline"] = (
         "select a.vec_id as id_a, b.vec_id as id_b, round(" + _SQL_COS + ", 4) as cos\n"
         "from embeddings a join embeddings b on a.vec_id < b.vec_id\n"
         "where round(" + _SQL_COS + ", 4) >= 0.35"
+    )
+    _cos_ab = _SQL_COS.replace("a.embedding", "ea").replace("b.embedding", "eb")
+    sql["neardup_lsh"] = (
+        "with bb as (" + _srp_buckets_sql() + "),\n"
+        "cand as (select distinct l.vec_id id_a, l.embedding ea, r.vec_id id_b, r.embedding eb\n"
+        "  from bb l join bb r on l.band = r.band and l.bucket = r.bucket and l.vec_id < r.vec_id)\n"
+        "select id_a, id_b, round(" + _cos_ab + ", 4) as cos from cand\n"
+        "where round(" + _cos_ab + ", 4) >= 0.35"
+    )
+    _cos_qn = _SQL_COS.replace("a.embedding", "qe").replace("b.embedding", "ne")
+    sql["ann_lsh"] = (
+        "with bb as (" + _srp_buckets_sql() + "),\n"
+        "q as (select * from bb where vec_id < 10),\n"
+        "cand as (select distinct q.vec_id q_id, q.embedding qe, c.vec_id n_id, c.embedding ne\n"
+        "  from q join bb c on q.band = c.band and q.bucket = c.bucket and c.vec_id != q.vec_id),\n"
+        "scored as (select q_id, n_id, round(" + _cos_qn + ", 4) cos from cand),\n"
+        "rk as (select q_id, n_id, cos,\n"
+        "  row_number() over (partition by q_id order by cos desc, n_id asc) rk from scored)\n"
+        "select q_id, n_id, cos, rk from rk where rk <= 5"
     )
     sql["ann_topk"] = (
         "with q as (select vec_id, embedding from embeddings where vec_id < 10),\n"
@@ -984,5 +1065,5 @@ def oracle_sql() -> dict[str, str]:
                lower(hex(encode(substring(text, 1, 8)))) as head_hex
         from documents
     """
-    # ann_lsh: approximate by construction -> rows-only check (no oracle)
+    # every query above has a full oracle (ann_lsh included: identical SRP plane literals)
     return sql

@@ -11,14 +11,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-NORM_RE = "[^a-z0-9 ]"
+NORM_RE = "[^a-z0-9]+"
 
 
 def norm_text(col) -> Column:
-    c = F.lower(col)
-    c = F.regexp_replace(c, NORM_RE, " ")
-    c = F.regexp_replace(c, " +", " ")
-    return F.trim(c)
+    """lower -> collapse every non-alnum run to ONE space -> trim.
+
+    Single regex pass: a run of [^a-z0-9] (spaces included) becomes one
+    space, which is exactly what the old two-pass form (strip then collapse
+    ' +') produced — one full scan of the text saved per row, measurably the
+    dominant cost of exact dedup at scale."""
+    return F.trim(F.regexp_replace(F.lower(col), NORM_RE, " "))
 
 
 def tokens(col) -> Column:
@@ -63,10 +66,7 @@ def md5_60bit(col) -> Column:
 
 
 # the matching DuckDB SQL fragments (formatted with the column expression)
-SQL_NORM = (
-    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
-    " ' +', ' ', 'g'))"
-)
+SQL_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 SQL_TOKENS = (
     "CASE WHEN " + SQL_NORM + " = '' THEN [] "
     "ELSE str_split(" + SQL_NORM + ", ' ') END"

@@ -100,7 +100,9 @@ class TestSimilarity:
         rows = [(i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(80)]
         rows[70] = (70, rows[1][1], 0)
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
-        out = ann_topk_lsh(emb, emb.filter("vec_id = 1"), k=3, n_planes=6).collect()
+        out = ann_topk_lsh(
+            emb, emb.filter("vec_id = 1"), k=3, bands=8, planes_per_band=4, dim=16
+        ).collect()
         assert any(r["n_id"] == 70 and r["rk"] == 1 for r in out)
 
 

@@ -124,3 +124,49 @@ class TestEngineStagePlans:
             ).collect()
         }
         assert fast == slow
+
+
+@pytest.mark.spark
+class TestNearDupScalePaths:
+    """Round-2: the oracle-checked near-dup defaults must be bucketed
+    (equi-join plans, no nested-loop/cartesian), and the LSH variants must
+    hold a recall floor against their exact baselines."""
+
+    def _emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_lsh_plans_have_no_nested_loop(self, spark):
+        from benthos_spark.ops.dedup import simhash_pairs
+        from benthos_spark.ops.similarity import ann_topk_lsh, neardup_lsh_rerank
+
+        emb = self._emb(spark)
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for df in (
+            neardup_lsh_rerank(emb, threshold=0.35, dim=64),
+            ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64),
+            simhash_pairs(docs, bits=16, max_hamming=2),
+        ):
+            plan = plan_of(df)
+            assert "BroadcastNestedLoopJoin" not in plan, plan
+            assert "CartesianProduct" not in plan, plan
+
+    def test_ann_lsh_recall_floor(self, spark):
+        from benthos_spark.ops.similarity import ann_topk_bruteforce, ann_topk_lsh
+
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = {(r["q_id"], r["n_id"]) for r in ann_topk_bruteforce(emb, q, k=5, dim=64).collect()}
+        approx = {(r["q_id"], r["n_id"]) for r in ann_topk_lsh(emb, q, k=5, dim=64).collect()}
+        # cosine values of returned pairs are oracle-hash-checked by the
+        # driver; here: seeded recall@5 vs brute force (measured 1.0 at the
+        # default bands=32/planes=4; floor leaves headroom for data drift)
+        assert len(approx & exact) / len(exact) >= 0.9
+
+    def test_neardup_lsh_is_subset_with_recall(self, spark):
+        from benthos_spark.ops.similarity import embedding_neardup_pairs, neardup_lsh_rerank
+
+        emb = self._emb(spark)
+        exact = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, threshold=0.35, dim=64).collect()}
+        lsh = {(r["id_a"], r["id_b"]) for r in neardup_lsh_rerank(emb, threshold=0.35, dim=64).collect()}
+        assert lsh <= exact  # exact re-rank -> no false positives
+        assert len(lsh & exact) / max(len(exact), 1) >= 0.9
