@@ -514,17 +514,31 @@ _LEGACY_RE = re.compile(r"^(?P<name>[a-z_0-9]+)(?::(?P<arg>.*))?$")
 
 
 def _parse_interp_body(body: str) -> Any:
-    # legacy deprecated function forms: name or name:arg with no spaces/parens
-    m = _LEGACY_RE.match(body)
-    if m and "(" not in body and " " not in body:
-        name, arg = m.group("name"), m.group("arg")
+    # legacy deprecated function forms: name or name:arg. The name must be a
+    # bare identifier from the deprecated table (no parens/spaces/dots); the
+    # arg after ':' is raw text and may contain anything (e.g. a Go timestamp
+    # layout with spaces).
+    name, sep, arg = body.partition(":")
+    if re.fullmatch(r"[a-z_0-9]+", name) and "(" not in body:
+        arg = arg if sep else None
         legacy = {
-            "json_field": lambda a: Func("json", [Lit(a)] if a else []),
+            # full deprecated set: lib/bloblang/x/query/deprecated_functions.go:144-228
+            # json_field:path,N — the part index N is dropped (parts are rows
+            # here; cross-part reads need batch-scoped frame mode)
+            "json_field": lambda a: Func(
+                "json", [Lit(a.split(",")[0])] if a else []
+            ),
             "metadata": lambda a: Func("meta", [Lit(a)] if a else []),
+            "metadata_json_object": lambda a: Func("meta", []),
+            "error": lambda a: Func("error", []),
+            "content": lambda a: Func("content", []),
+            "echo": lambda a: Lit(a or ""),
             "count": lambda a: Func("count", [Lit(a or "")]),
             "batch_size": lambda a: Func("batch_size", []),
             "timestamp_unix": lambda a: Func("timestamp_unix", []),
             "timestamp_unix_nano": lambda a: Func("timestamp_unix_nano", []),
+            "timestamp": lambda a: Func("timestamp", [Lit(a)] if a else []),
+            "timestamp_utc": lambda a: Func("timestamp_utc", [Lit(a)] if a else []),
             "uuid_v4": lambda a: Func("uuid_v4", []),
             "hostname": lambda a: Func("hostname", []),
         }.get(name)

@@ -190,3 +190,29 @@ class TestMappings:
             'root = json("a").filter(this > 1).sort_by(this * -1)', b'{"a":[3,1,2]}'
         )
         assert out.content == b"[3,2]"
+
+
+class TestLegacyInterpolation:
+    """Full deprecated interpolation table
+    (lib/bloblang/x/query/deprecated_functions.go:144-228)."""
+
+    def test_all_legacy_forms(self):
+        import json
+
+        from benthos_spark.bloblang.interp import InterpolatedField, Interpreter, Part
+
+        i = Interpreter()
+        parts = [Part(b'{"doc":{"title":"hi"}}', {"topic": "t1"}), Part(b"x", {})]
+
+        def r(src):
+            return InterpolatedField(src).resolve(i, parts, 0)
+
+        assert r("${!json_field:doc.title}") == "hi"
+        assert r("${!json_field:doc.title,0}") == "hi"
+        assert r("${!metadata:topic}") == "t1"
+        assert r("${!echo:foo}") == "foo"
+        assert r("${!batch_size}") == "2"
+        assert r("${!content}") == '{"doc":{"title":"hi"}}'
+        assert json.loads(r("${!metadata_json_object}")) == {"topic": "t1"}
+        assert len(r("${!timestamp_utc:2006-01-02}")) == 10
+        assert r("${!count:legacy_ctr}") == "1" and r("${!count:legacy_ctr}") == "2"
