@@ -60,10 +60,15 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "simhash_pairs",
     "token_count",
     "quality_score",
     "ann_topk",
+    "ann_lsh",
+    "neardup_lsh",
     "fingerprint",
+    "avro_roundtrip",
+    "streaming_dedupe_window",
 ]
 
 

@@ -15,10 +15,11 @@ cluster, not just single-node local mode. All filesystem calls run on the
 driver (inside ``foreachBatch``), which is where Structured Streaming's own
 commit log lives too.
 
-Format: parquet directory laid out like an Iceberg table (data/ + commit
-log). The container has no Iceberg runtime jars; on a real cluster, swap
-``_write_data`` for ``df.writeTo(table).append()`` inside the same commit
-guard — the idempotence protocol is format-agnostic.
+Formats: the base sink writes a parquet directory laid out like an Iceberg
+table (data/ + commit log); :class:`IcebergSink` swaps the data step for
+``writeTo(table).overwritePartitions()`` on a ``_batch_id``-partitioned
+Iceberg table (jar-gated via :func:`has_iceberg` — the container ships
+without the runtime). The commit protocol is identical for both.
 
 Lineage columns appended to every row: ``_batch_id``, ``_partition_id``
 (spark_partition_id at write time), ``_ingest_win``. Metrics per micro-batch
@@ -141,7 +142,6 @@ class IdempotentSink:
         staged = df.withColumn("_batch_id", F.lit(batch_id)).withColumn(
             "_partition_id", F.spark_partition_id()
         )
-        out_path = _join(self.data_dir, f"batch_id={batch_id}")
         # persist: the batch feeds two actions (metrics + write); without it
         # the whole upstream micro-batch would execute twice
         staged = staged.persist()
@@ -151,7 +151,7 @@ class IdempotentSink:
                 for r in staged.groupBy("_partition_id").agg(F.count(F.lit(1)).alias("n")).collect()
             }
             n_rows = sum(part_rows.values())
-            staged.write.mode("overwrite").parquet(out_path)
+            self._write_data(staged, batch_id)
         finally:
             staged.unpersist()
         metrics = {
@@ -168,6 +168,12 @@ class IdempotentSink:
         fs.write_atomic(
             self._commit_path(batch_id), json.dumps({"batch_id": batch_id, "rows": n_rows})
         )
+
+    def _write_data(self, staged: DataFrame, batch_id: int) -> None:
+        """Data write step, format-swappable (the commit protocol around it
+        is identical for any format)."""
+        out_path = _join(self.data_dir, f"batch_id={batch_id}")
+        staged.write.mode("overwrite").parquet(out_path)
 
     def foreach_batch(self) -> Callable:
         return lambda df, bid: self.write_batch(df, bid)
@@ -230,3 +236,54 @@ def run_to_sink(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def has_iceberg(spark) -> bool:
+    """True if the Iceberg runtime is on the classpath (the container ships
+    without it; a real deployment adds iceberg-spark-runtime via --packages)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergSink(IdempotentSink):
+    """IdempotentSink writing micro-batches into an Iceberg table, the
+    north rule's canonical sink. Same commit protocol; the data step becomes
+    ``writeTo(table).overwritePartitions()`` on a table partitioned by
+    ``_batch_id`` — a replayed batch atomically replaces its own partition
+    (Iceberg snapshot isolation), so a crash between the Iceberg commit and
+    the marker write converges on replay instead of duplicating. read()
+    additionally filters to marker-committed ``_batch_id`` values.
+
+    Requires the Iceberg runtime jar (gate with has_iceberg); ``root`` still
+    stores commit markers + metrics through the filesystem abstraction.
+    """
+
+    def __init__(self, table: str, root: str):
+        super().__init__(root)
+        self.table = table
+
+    def _write_data(self, staged: DataFrame, batch_id: int) -> None:
+        writer = staged.writeTo(self.table)
+        try:
+            writer.overwritePartitions()
+        except Exception as exc:  # first batch: table may not exist yet
+            if "TABLE_OR_VIEW_NOT_FOUND" in str(exc) or "NoSuchTable" in str(exc):
+                staged.writeTo(self.table).partitionedBy(F.col("_batch_id")).create()
+            else:
+                raise
+
+    def read(self, spark) -> DataFrame:
+        fs = self._bind_fs(spark)
+        committed = [
+            int(fn.split(".")[0])
+            for fn in fs.listdir(self.commits_dir)
+            if fn.endswith(".json") and ".tmp-" not in fn
+        ]
+        if not committed:
+            raise FileNotFoundError(f"no committed batches under {self.root}")
+        return spark.read.table(self.table).filter(F.col("_batch_id").isin(committed))

@@ -309,3 +309,25 @@ class TestSinkFilesystemAbstraction:
         shutil.rmtree(str(tmp_path / "out" / "data" / "batch_id=0"))
         with pytest.raises(IOError):
             sink.read(spark)
+
+
+@pytest.mark.spark
+class TestIcebergSink:
+    def test_iceberg_sink_roundtrip(self, spark, tmp_path):
+        """Gated on the Iceberg runtime jar: exercises the real
+        writeTo(...).overwritePartitions() path when available, documents the
+        drop-in otherwise."""
+        from benthos_spark.streaming.sink import IcebergSink, has_iceberg
+
+        if not has_iceberg(spark):
+            pytest.skip("iceberg-spark-runtime jar not on classpath")
+        sink = IcebergSink("local.db.bench_sink", str(tmp_path / "markers"))
+        df = spark.range(10).withColumnRenamed("id", "v")
+        sink.write_batch(df, 0)
+        sink.write_batch(df, 0)  # replay converges via partition overwrite
+        assert sink.read(spark).count() == 10
+
+    def test_has_iceberg_detection_is_safe(self, spark):
+        from benthos_spark.streaming.sink import has_iceberg
+
+        assert has_iceberg(spark) in (True, False)
