@@ -620,6 +620,27 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), bits=16, max_hamming=2)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: MinHash-LSH candidate pairs ->
+    iterative min-label connected components (ops/graph.py, one shuffle per
+    iteration, lineage-truncated) -> keeper per cluster. Oracle = recursive
+    CTE transitive closure over the same LSH pair set."""
+    from benthos_spark.ops.dedup import minhash_lsh_pairs
+    from benthos_spark.ops.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=16, bands=4, n=2)
+    return dedup_clusters(docs, pairs)
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-ish regex token count (words / digit runs / single punctuation),
+    the subword-style complement of whitespace token_count."""
+    from benthos_spark.ops.textstats import token_count_bpe
+
+    return token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark, sf_dir):
     from benthos_spark.ops.textstats import lang_id
 
@@ -695,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_lsh": q_neardup_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "token_count_bpe": q_token_count_bpe,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1054,6 +1077,26 @@ def oracle_sql() -> dict[str, str]:
     """.replace("{toks}", _sql_tokens("text"))
     sql["token_count"] = (
         "select doc_id, len(" + _sql_tokens("text") + ") as n_tokens from documents"
+    )
+    sql["token_count_bpe"] = r"""
+        select doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                 as n_bpe_tokens
+        from documents
+    """
+    sql["dedup_clusters"] = (
+        "with recursive lsh as (" + sql["dedup_minhash_lsh"] + "),\n"
+        "edges as (select id_a a, id_b b from lsh union select id_b, id_a from lsh),\n"
+        "reach(src, dst) as (\n"
+        "  select a, b from edges\n"
+        "  union\n"
+        "  select r.src, e.b from reach r join edges e on r.dst = e.a\n"
+        "),\n"
+        "comp as (select src as id, least(src, min(dst)) as cluster_id\n"
+        "         from reach group by src)\n"
+        "select d.doc_id, coalesce(c.cluster_id, d.doc_id) as cluster_id,\n"
+        "       d.doc_id = coalesce(c.cluster_id, d.doc_id) as is_keeper\n"
+        "from documents d left join comp c on c.id = d.doc_id"
     )
     sql["fingerprint"] = (
         "select doc_id, substring(md5(" + _SQL_NORM.format(c="text") + "), 1, 16) as fp"

@@ -21,6 +21,22 @@ def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish pre-tokenizer count: alphabetic runs, digit runs, and single
+    punctuation marks each count as one token (the GPT-2-style pre-split
+    shape, minus byte-level merges — those need a learned vocab). Pure
+    Catalyst, same regex reproduced by the DuckDB oracle."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def _count_hits(toks, words):
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))

@@ -23,7 +23,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, rows: int) -> dict:
+def run_level(cpus: int, rows: int, repeat: int = 3) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,7 +35,7 @@ def run_level(cpus: int, rows: int) -> dict:
             "--rows",
             str(rows),
             "--repeat",
-            "3",
+            str(repeat),
         ],
         capture_output=True,
         text=True,
@@ -54,6 +54,9 @@ def main() -> None:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
     if "--levels" in sys.argv:
         levels = [int(x) for x in sys.argv[sys.argv.index("--levels") + 1].split(",")]
+    repeat = 3
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
 
     # interleave levels A/B/A/B and keep the best per level: the sandbox VM
     # shows minute-scale throughput drift (shared host), so adjacent
@@ -61,7 +64,7 @@ def main() -> None:
     results = {}
     for _round in range(2):
         for cpus in levels:
-            r = run_level(cpus, rows)
+            r = run_level(cpus, rows, repeat)
             if cpus not in results or r["value"] > results[cpus]["value"]:
                 results[cpus] = r
             print(

@@ -236,3 +236,26 @@ class TestSpecWindowDedupe:
         got = IdempotentSink(str(tmp_path / "out")).read(spark)
         assert {"win_start", "url_host", "n_pages"} <= set(got.columns)
         assert got.count() > 0
+
+
+@pytest.mark.spark
+class TestGraph:
+    def test_connected_components_multi_hop(self, spark):
+        from benthos_spark.ops.graph import connected_components
+
+        # chain 0-1-2-3, pair 10-11, self-contained triangle 20-21-22
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "id_a long, id_b long",
+        )
+        got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_dedup_clusters_keeps_singletons(self, spark):
+        from benthos_spark.ops.graph import dedup_clusters
+
+        docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        pairs = spark.createDataFrame([(1, 4), (4, 5)], "id_a long, id_b long")
+        got = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in dedup_clusters(docs, pairs).collect()}
+        assert got == {0: (0, True), 1: (1, True), 2: (2, True), 3: (3, True),
+                       4: (1, False), 5: (1, False)}
