@@ -331,3 +331,80 @@ class TestIcebergSink:
         from benthos_spark.streaming.sink import has_iceberg
 
         assert has_iceberg(spark) in (True, False)
+
+
+@pytest.mark.spark
+@pytest.mark.streaming
+class TestChainedStatefulRestart:
+    def test_dedupe_window_chain_survives_restart(self, spark, tmp_path):
+        """The north-rule chain (watermark dedupe -> tumbling agg) compiled by
+        the engine must produce identical sink contents whether the stream is
+        drained in one run or killed and resumed from checkpoint midway."""
+        from datetime import timedelta
+
+        from pyspark.sql import functions as F
+
+        from benthos_spark.engine.spark_exec import NativePipeline
+        from benthos_spark.fixtures import pages
+
+        full = pages(spark, 6000, n_hosts=20, rows_per_sec=100)
+        max_ts = full.agg(F.max("warc_ts")).collect()[0][0]
+        schema = full.schema
+
+        def write_chunk(path, lo, hi):
+            full.filter(f"seq >= {lo} AND seq < {hi}").coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+
+        def sentinel(path):
+            row = [("http://flush.example/x", max_ts + timedelta(hours=6), None, "flush", "xx", 999999)]
+            spark.createDataFrame(row, schema).coalesce(1).write.mode("append").parquet(path)
+
+        def run(in_dir, sink_dir, ckpt):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+                .withColumn("hr", F.date_trunc("hour", "warc_ts"))
+            )
+            pipe = NativePipeline(
+                [
+                    {"dedupe": {"keys": ["url", "hr"], "watermark": "2 hours",
+                                "ts_col": "warc_ts"}},
+                    {"window": {"kind": "tumbling", "size": "1 hour",
+                                "keys": ["url_host"], "ts_col": "warc_ts",
+                                "aggs": [{"fn": "count", "as": "n"}]}},
+                ],
+                dict(stream.dtypes),
+            )
+            out = pipe(stream.withColumn("url_host", F.split("url", "/")[2]))
+            sink = IdempotentSink(sink_dir)
+            run_to_sink(out, sink, ckpt)
+            return sink
+
+        # interrupted run: first half, drain; then rest + sentinel, resume
+        in_a = str(tmp_path / "in_a")
+        write_chunk(in_a, 0, 3000)
+        run(in_a, str(tmp_path / "sink_a"), str(tmp_path / "ckpt_a"))
+        write_chunk(in_a, 3000, 6000)
+        sentinel(in_a)
+        sink_a = run(in_a, str(tmp_path / "sink_a"), str(tmp_path / "ckpt_a"))
+
+        # single uninterrupted run over identical input
+        in_b = str(tmp_path / "in_b")
+        write_chunk(in_b, 0, 3000)
+        write_chunk(in_b, 3000, 6000)
+        sentinel(in_b)
+        sink_b = run(in_b, str(tmp_path / "sink_b"), str(tmp_path / "ckpt_b"))
+
+        def rows(sink):
+            return sorted(
+                (r["win_start"], r["url_host"], r["n"])
+                for r in sink.read(spark)
+                .filter(F.col("url_host") != "flush.example")
+                .select("win_start", "url_host", "n")
+                .collect()
+            )
+
+        a, b = rows(sink_a), rows(sink_b)
+        assert a == b and len(a) > 0
