@@ -52,6 +52,29 @@ def cosine_col(a, b, dim=None):
     return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
+def _cos_pd():
+    """Arrow-batched cosine over two vector columns (numpy, one BLAS pass
+    per batch). This is the pair-scoring workhorse: the dim-unrolled
+    Catalyst expression is O(dim) plan nodes — at dim 64 it costs tens of
+    seconds of driver codegen+JIT per query and sits at janino's method-size
+    edge; the HOF form is interpreted per element. The batched numpy kernel
+    has a constant-size plan and SIMD throughput at any dim (measured
+    fastest of the three at dim>=32)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a.values])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b.values])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return cos
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -61,21 +84,11 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (exact; the explicitly-named
     quadratic baseline — neardup_lsh_rerank is the scale-path default).
-
-    Norms are computed per side BEFORE the join: the join stage then only
-    carries the dot product, keeping the generated consume method under
-    janino's size limit (the full unrolled cosine in the join stage fails
-    codegen and silently drops to interpreted eval)."""
-    a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        _norm(F.col(vec_col), dim).alias("na"),
-    )
-    b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        _norm(F.col(vec_col), dim).alias("nb"),
-    )
+    Scoring via the Arrow-batched numpy cosine (see _cos_pd)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = F.round(_dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 4)
+    cos = F.round(_cos_pd()(F.col("va"), F.col("vb")), 4)
     return pairs.withColumn("cos", cos).filter(F.col("cos") >= threshold).select(
         "id_a", "id_b", "cos"
     )
@@ -94,18 +107,10 @@ def ann_topk_bruteforce(
     so ordering is reproducible across engines."""
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col), dim).alias("qn"),
-    )
-    c = emb.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"),
-        _norm(F.col(vec_col), dim).alias("nn"),
-    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
     joined = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-    scored = joined.withColumn(
-        "cos", F.round(_dot(F.col("qv"), F.col("nv"), dim) / (F.col("qn") * F.col("nn")), 4)
-    )
+    scored = joined.withColumn("cos", F.round(_cos_pd()(F.col("qv"), F.col("nv")), 4))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -206,28 +211,20 @@ def ann_topk_lsh(
     from pyspark.sql import Window
 
     q = srp_band_buckets(
-        queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
-            _norm(F.col(vec_col), dim).alias("qn"),
-        ),
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")),
         "qv", dim, bands, planes_per_band, seed,
     )
     c = srp_band_buckets(
-        emb.select(
-            F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"),
-            _norm(F.col(vec_col), dim).alias("nn"),
-        ),
+        emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv")),
         "nv", dim, bands, planes_per_band, seed,
     )
     cand = (
         c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "qv", "qn", "n_id", "nv", "nn")
+        .select("q_id", "qv", "n_id", "nv")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cos", F.round(_dot(F.col("qv"), F.col("nv"), dim) / (F.col("qn") * F.col("nn")), 4)
-    )
+    scored = cand.withColumn("cos", F.round(_cos_pd()(F.col("qv"), F.col("nv")), 4))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -252,10 +249,7 @@ def neardup_lsh_rerank(
     O(collisions), never O(n^2); the exact all-pairs op remains as the
     explicitly-named baseline."""
     b = srp_band_buckets(
-        emb.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-            _norm(F.col(vec_col), dim).alias("nrm"),
-        ),
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v", dim, bands, planes_per_band, seed,
     )
     l, r = b.alias("l"), b.alias("r")
@@ -266,17 +260,15 @@ def neardup_lsh_rerank(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
-            F.col("l.nrm").alias("na"),
-            F.col("r.nrm").alias("nb"),
-        )
+        # pair ids only through distinct: the dedup shuffle moves 2 longs per
+        # candidate, never vectors
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    cos = F.round(_dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 4)
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cand = cand.join(va, "id_a").join(vb, "id_b")
+    cos = F.round(_cos_pd()(F.col("va"), F.col("vb")), 4)
     return (
         cand.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
