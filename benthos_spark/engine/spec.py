@@ -70,6 +70,15 @@ class Stream:
         body = body or {}
         if kind == "parquet":
             return self.spark.read.parquet(body["path"])
+        if kind in ("kafka", "kafka_balanced"):
+            from ..streaming.source import kafka_frame_stream
+
+            return kafka_frame_stream(
+                self.spark,
+                body.get("addresses") or ["localhost:9092"],
+                body.get("topics") or [],
+                start_oldest=bool(body.get("start_from_oldest", True)),
+            )
         if kind in ("file", "files"):
             from ..streaming.source import file_lines_input
 

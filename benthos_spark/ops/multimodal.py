@@ -113,3 +113,59 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "url") -> 
         F.col(id_col).alias("media_id"),
         F.explode(F.sequence(F.lit(0), F.lit(every_n - 1))).alias("frame_idx"),
     )
+
+
+def resize_plan(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    width_col: str = "width",
+    height_col: str = "height",
+    keep_aspect: bool = True,
+) -> DataFrame:
+    """Image-resize *plan* (pure Catalyst): from claimed source dimensions
+    (metadata columns), derive scale factors and output dims per row. The
+    pixel transform itself is the stubbed decode step (set_decoder); at
+    scale this projection decides work placement (e.g. skip no-op resizes)
+    before any bytes are touched."""
+    sw = F.col(width_col).cast("double")
+    sh = F.col(height_col).cast("double")
+    if keep_aspect:
+        scale = F.least(F.lit(float(target_w)) / sw, F.lit(float(target_h)) / sh)
+        out_w = F.floor(sw * scale).cast("int")
+        out_h = F.floor(sh * scale).cast("int")
+    else:
+        scale = F.lit(None).cast("double")
+        out_w = F.lit(target_w)
+        out_h = F.lit(target_h)
+    return (
+        df.withColumn("scale", F.round(scale, 6))
+        .withColumn("out_w", out_w)
+        .withColumn("out_h", out_h)
+        .withColumn("is_noop", (F.col("out_w") == sw) & (F.col("out_h") == sh))
+    )
+
+
+def audio_chunk_plan(
+    df: DataFrame,
+    chunk_ms: int = 30_000,
+    duration_col: str = "duration_ms",
+    id_col: str = "url",
+) -> DataFrame:
+    """Audio chunking *plan*: one row per chunk with (offset_ms, length_ms)
+    derived from claimed duration metadata — the fan-out that bounds decoder
+    memory per task. Chunk decode itself is the stubbed step."""
+    n_chunks = F.ceil(F.col(duration_col) / F.lit(chunk_ms)).cast("int")
+    return (
+        df.select(
+            F.col(id_col).alias("media_id"),
+            F.col(duration_col).alias("__dur"),
+            F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))).alias("chunk_idx"),
+        )
+        .withColumn("offset_ms", F.col("chunk_idx") * F.lit(chunk_ms))
+        .withColumn(
+            "length_ms",
+            F.least(F.lit(chunk_ms), F.col("__dur") - F.col("offset_ms")).cast("int"),
+        )
+        .drop("__dur")
+    )

@@ -138,3 +138,39 @@ def file_lines_input(
             yield pd.DataFrame(rows, columns=["batch_id", "seq", "content", "meta"])
 
     return raw.select("path", "content").mapInPandas(split_files, FRAME_SCHEMA)
+
+
+def kafka_frame_stream(
+    spark: SparkSession,
+    addresses: list[str],
+    topics: list[str],
+    start_oldest: bool = True,
+    extra_options: dict | None = None,
+) -> DataFrame:
+    """kafka input (lib/input/reader/kafka.go:28-103) mapped to Structured
+    Streaming's kafka source, emitting the schemaless message frame:
+    value -> content, headers+topic/partition/offset -> meta. Offsets live
+    in the CHECKPOINT, not the broker (commit-after-ack upgraded to
+    exactly-once; consumer_group is therefore not mapped). Requires the
+    spark-sql-kafka connector jar (--packages on a real cluster; absent in
+    this container — construction raises a clear error at load())."""
+    from pyspark.sql import functions as F
+
+    r = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", ",".join(addresses))
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", "earliest" if start_oldest else "latest")
+    )
+    for k, v in (extra_options or {}).items():
+        r = r.option(k, v)
+    raw = r.load()
+    return raw.select(
+        F.xxhash64("topic", "partition", "offset").alias("batch_id"),
+        F.lit(0).alias("seq"),
+        F.col("value").alias("content"),
+        F.map_from_arrays(
+            F.array(F.lit("kafka_topic"), F.lit("kafka_partition"), F.lit("kafka_offset")),
+            F.array(F.col("topic"), F.col("partition").cast("string"), F.col("offset").cast("string")),
+        ).alias("meta"),
+    )

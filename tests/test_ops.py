@@ -259,3 +259,42 @@ class TestGraph:
         got = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in dedup_clusters(docs, pairs).collect()}
         assert got == {0: (0, True), 1: (1, True), 2: (2, True), 3: (3, True),
                        4: (1, False), 5: (1, False)}
+
+
+@pytest.mark.spark
+class TestMultimodalPlans:
+    def test_resize_plan_aspect(self, spark):
+        from benthos_spark.ops.multimodal import resize_plan
+
+        df = spark.createDataFrame(
+            [("a", 1920, 1080), ("b", 100, 100), ("c", 256, 256)],
+            "url string, width int, height int",
+        )
+        got = {r["url"]: (r["out_w"], r["out_h"], r["is_noop"])
+               for r in resize_plan(df, 256, 256).collect()}
+        assert got["a"] == (256, 144, False)
+        assert got["b"] == (256, 256, False)
+        assert got["c"] == (256, 256, True)
+
+    def test_audio_chunk_plan(self, spark):
+        from benthos_spark.ops.multimodal import audio_chunk_plan
+
+        df = spark.createDataFrame([("a", 65_000), ("b", 10_000)], "url string, duration_ms long")
+        rows = audio_chunk_plan(df, chunk_ms=30_000).collect()
+        a = sorted((r["chunk_idx"], r["offset_ms"], r["length_ms"]) for r in rows if r["media_id"] == "a")
+        assert a == [(0, 0, 30000), (1, 30000, 30000), (2, 60000, 5000)]
+        b = [(r["offset_ms"], r["length_ms"]) for r in rows if r["media_id"] == "b"]
+        assert b == [(0, 10000)]
+
+    def test_kafka_source_mapping_gated(self, spark):
+        """Without the kafka connector jar, construction must fail with a
+        clear data-source error (the mapping itself is exercised on real
+        clusters via --packages)."""
+        from benthos_spark.streaming.source import kafka_frame_stream
+
+        try:
+            df = kafka_frame_stream(spark, ["localhost:9092"], ["t"])
+        except Exception as exc:
+            assert "kafka" in str(exc).lower()
+            return
+        assert set(df.columns) == {"batch_id", "seq", "content", "meta"}
