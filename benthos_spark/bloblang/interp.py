@@ -789,6 +789,7 @@ _GO_LAYOUT = [
     ("15", "%H"),
     ("04", "%M"),
     ("05", "%S"),
+    ("06", "%y"),  # after 2006/15/04/05 so their digits are already consumed
     ("Jan", "%b"),
     ("Mon", "%a"),
     ("MST", "%Z"),

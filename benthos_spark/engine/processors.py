@@ -360,14 +360,19 @@ def _get_in(doc: Any, segs: List[str]) -> Any:
 def _set_in(doc: Any, segs: List[str], value: Any) -> Any:
     if not segs:
         return value
+    s = segs[0]
+    if isinstance(doc, list):
+        # numeric segments index into arrays (gabs PathP behavior)
+        try:
+            i = int(s)
+        except ValueError:
+            return doc
+        if 0 <= i < len(doc):
+            doc[i] = _set_in(doc[i], segs[1:], value)
+        return doc
     if not isinstance(doc, dict):
         doc = {}
-    cur = doc
-    for s in segs[:-1]:
-        if not isinstance(cur.get(s), dict):
-            cur[s] = {}
-        cur = cur[s]
-    cur[segs[-1]] = value
+    doc[s] = _set_in(doc.get(s), segs[1:], value)
     return doc
 
 
@@ -400,133 +405,176 @@ def _clean(doc: Any) -> Any:
     return doc
 
 
+_AWK_VAR_INVALID = re.compile(r"[^a-zA-Z0-9_]")
+
+
+def _awk_flatten(path: str, data: Any, out: Dict[str, str]) -> None:
+    """awk.go flattenForAWK: nested keys join with '.', arrays flatten into
+    their parent path, scalars render Go-%v style."""
+    if isinstance(data, dict):
+        for k, v in data.items():
+            _awk_flatten(f"{path}.{k}" if path else k, v, out)
+    elif isinstance(data, list):
+        for ele in data:
+            _awk_flatten(path, ele, out)
+    else:
+        if isinstance(data, bool):
+            out[path] = "true" if data else "false"
+        elif isinstance(data, float) and data == int(data):
+            out[path] = str(int(data))
+        else:
+            out[path] = "" if data is None else str(data)
+
+
 class AwkProc(Processor):
-    """Subset of the awk processor: a single action block of statements
-    over the custom json/metadata functions (lib/processor/awk.go:517-624
-    function table — behavior only; full goawk programs are out of scope)."""
+    """awk processor (lib/processor/awk.go): a mini-AWK interpreter
+    (engine/awk_mini.py) + the full custom function table, codecs
+    none|text|json. If the program prints, the printed output (sans trailing
+    newline) REPLACES the payload; json_set*/metadata_set mutate in place."""
 
     name = "awk"
 
-    _STMT_RE = re.compile(r"^\s*(json_set|json_set_int|json_set_float|metadata_set)\s*\(\s*\"([^\"]+)\"\s*,\s*(.+?)\)\s*;?\s*$")
-    _CALL_RE = re.compile(r"(json_get|metadata_get)\s*\(\s*\"([^\"]+)\"\s*\)")
-
     def __init__(self, conf: Dict[str, Any]):
-        program = conf.get("program", "")
-        body = program.strip()
-        if body.startswith("{"):
-            body = body[1:]
-        if body.endswith("}"):
-            body = body[:-1]
-        self.statements = []
-        for line in body.split("\n"):
-            line = line.strip()
-            if not line:
-                continue
-            m = self._STMT_RE.match(line)
-            if not m:
-                raise ValueError(f"unsupported awk statement (subset): {line!r}")
-            self.statements.append((m.group(1), m.group(2), m.group(3)))
+        from .awk_mini import parse_program
+
+        self.codec = conf.get("codec", "text")
+        if self.codec not in ("none", "text", "json"):
+            raise ValueError(f"unrecognised codec: {self.codec}")
+        self.rules = parse_program(conf.get("program", ""))
 
     def process(self, batch, env):
+        from . import awk_mini as A
+
         out: Batch = []
         for part in batch:
-            try:
-                doc = parse_json(part.content)
-            except BloblangError:
-                doc = {}
             meta = dict(part.meta)
+            state = {"doc": None, "doc_dirty": False}
 
-            def repl(m: re.Match) -> str:
-                fn, arg = m.group(1), m.group(2)
-                if fn == "json_get":
-                    v = _get_in(doc, arg.split("."))
-                    return repr(to_string(v) if not isinstance(v, (int, float)) else v)
-                return repr(meta.get(arg, ""))
+            def get_doc():
+                if state["doc"] is None:
+                    state["doc"] = parse_json(part.content)
+                return state["doc"]
 
-            failed = False
-            for op, path, expr in self.statements:
-                pyexpr = self._CALL_RE.sub(repl, expr)
-                try:
-                    val = _awk_eval(pyexpr)
-                except Exception as exc:
-                    out.append(flag_err(part.copy(), str(exc)))
-                    failed = True
-                    break
-                if op == "metadata_set":
-                    meta[path] = to_string(val)
-                elif op == "json_set_int":
-                    doc = _set_in(doc, path.split("."), int(_awk_num(val)))
-                elif op == "json_set_float":
-                    doc = _set_in(doc, path.split("."), _awk_num(val))
+            def set_doc(d):
+                state["doc"] = d
+                state["doc_dirty"] = True
+
+            def j_get(path):
+                v = _get_in(get_doc(), str(path).split("."))
+                if v is None:
+                    return "null"
+                if isinstance(v, str):
+                    return v
+                return serialize(v)
+
+            def j_set(path, v):
+                set_doc(_set_in(get_doc() if part.content.strip() else {},
+                                str(path).split("."), v))
+                return 0.0
+
+            def j_append(path, v):
+                doc = get_doc() if part.content.strip() else {}
+                segs = str(path).split(".")
+                cur = _get_in(doc, segs)
+                if cur is None:
+                    arr = [v]
+                elif isinstance(cur, list):
+                    arr = cur + [v]
                 else:
-                    doc = _set_in(doc, path.split("."), to_string(val))
-            if not failed:
-                out.append(Part(to_bytes_payload(doc), meta))
+                    arr = [cur, v]
+                set_doc(_set_in(doc, segs, arr))
+                return 0.0
+
+            def j_type(path):
+                doc = get_doc()
+                segs = str(path).split(".")
+                cur = doc
+                for s in segs:
+                    if isinstance(cur, dict) and s in cur:
+                        cur = cur[s]
+                    else:
+                        return "undefined"
+                if cur is None:
+                    return "null"
+                if isinstance(cur, bool):
+                    return "bool"
+                if isinstance(cur, (int, float)):
+                    return "float"
+                if isinstance(cur, str):
+                    return "string"
+                if isinstance(cur, list):
+                    return "array"
+                return "object"
+
+            def j_length(path):
+                v = _get_in(get_doc(), str(path).split("."))
+                if isinstance(v, (str, list)):
+                    return float(len(v))
+                return 0.0
+
+            def create_obj(*vals):
+                pairs = {}
+                for i in range(0, len(vals) - 1, 2):
+                    pairs[A.awk_str(vals[i])] = A.awk_str(vals[i + 1])
+                return serialize(pairs)
+
+            funcs = {
+                "metadata_get": lambda k: meta.get(A.awk_str(k), ""),
+                "metadata_set": lambda k, v: meta.__setitem__(A.awk_str(k), A.awk_str(v)) or 0.0,
+                "json_get": lambda p: j_get(p),
+                "json_set": lambda p, v: j_set(p, A.awk_str(v)),
+                "json_set_int": lambda p, v: j_set(p, int(A.to_num(v))),
+                "json_set_float": lambda p, v: j_set(p, A.to_num(v)),
+                "json_set_bool": lambda p, v: j_set(p, A.truthy(v)),
+                "json_append": lambda p, v: j_append(p, A.awk_str(v)),
+                "json_append_int": lambda p, v: j_append(p, int(A.to_num(v))),
+                "json_append_float": lambda p, v: j_append(p, A.to_num(v)),
+                "json_append_bool": lambda p, v: j_append(p, A.truthy(v)),
+                "json_delete": lambda p: (set_doc(_del_in(get_doc(), str(p).split("."))), 0.0)[1],
+                "json_type": lambda p: j_type(p),
+                "json_length": lambda p: j_length(p),
+                "create_json_object": create_obj,
+                "create_json_array": lambda *vs: serialize([A.awk_str(v) for v in vs]),
+                "timestamp_unix": lambda d, fmt="": float(int(A.parse_time(A.awk_str(d), A.awk_str(fmt) if fmt else ""))),
+                "timestamp_unix_nano": lambda d, fmt="": A.parse_time(A.awk_str(d), A.awk_str(fmt) if fmt else "") * 1e9,
+                "timestamp_format": lambda u, fmt="": A.format_time(A.to_num(u), A.awk_str(fmt) if fmt else ""),
+                "timestamp_format_nano": lambda u, fmt="": A.format_time(
+                    A.to_num(u) // 1e9, A.awk_str(fmt) if fmt else "",
+                    nanos=int(A.to_num(u) % 1e9),
+                ),
+                "print_log": lambda v, lvl="INFO": 0.0,
+            }
+
+            variables: Dict[str, str] = {}
+            record = " "
+            if self.codec == "text":
+                record = part.content.decode("utf-8", errors="replace")
+            if self.codec == "json":
+                try:
+                    flat: Dict[str, str] = {}
+                    _awk_flatten("", parse_json(part.content), flat)
+                    for k, v in flat.items():
+                        variables[_AWK_VAR_INVALID.sub("_", k)] = v
+                except BloblangError as exc:
+                    out.append(flag_err(part.copy(), f"failed to parse part into json: {exc}"))
+                    continue
+            if self.codec != "none":
+                for k, v in meta.items():
+                    variables[_AWK_VAR_INVALID.sub("_", k)] = v
+
+            try:
+                printed = A.run_program(self.rules, record, variables, funcs)
+            except Exception as exc:
+                out.append(flag_err(part.copy(), f"awk: {exc}"))
+                continue
+            if printed is not None:
+                content = "\n".join(printed).encode("utf-8")
+            elif state["doc_dirty"]:
+                content = to_bytes_payload(state["doc"])
+            else:
+                content = part.content
+            out.append(Part(content, meta))
         return [out]
-
-
-def _awk_num(v: Any) -> float:
-    if isinstance(v, (int, float)):
-        return float(v)
-    m = re.match(r"\s*[-+]?\d*\.?\d+", str(v))
-    return float(m.group()) if m else 0.0
-
-
-class _AwkStr(str):
-    """awk-style string: numeric coercion under arithmetic."""
-
-    def __add__(self, other):
-        return _awk_num(self) + _awk_num(other)
-
-    def __radd__(self, other):
-        return _awk_num(other) + _awk_num(self)
-
-    def __mul__(self, other):  # type: ignore[override]
-        return _awk_num(self) * _awk_num(other)
-
-    def __sub__(self, other):
-        return _awk_num(self) - _awk_num(other)
-
-    def __rsub__(self, other):
-        return _awk_num(other) - _awk_num(self)
-
-
-def _awk_eval(expr: str):
-    """Evaluate an awk arithmetic expression over literals only.
-
-    The expression has already had json_get/metadata_get calls substituted
-    with literal reprs; only arithmetic and string literals remain."""
-    if not re.fullmatch(r"[\d\s().+\-*/%'\"\\_a-zA-Z:,{}\[\]]*", expr):
-        raise ValueError(f"unsupported awk expression: {expr!r}")
-    import ast as _pyast
-
-    tree = _pyast.parse(expr, mode="eval")
-    for node in _pyast.walk(tree):
-        if isinstance(node, (_pyast.Call, _pyast.Attribute, _pyast.Name)):
-            raise ValueError(f"unsupported awk expression: {expr!r}")
-
-    def conv(node):
-        if isinstance(node, _pyast.Expression):
-            return conv(node.body)
-        if isinstance(node, _pyast.Constant):
-            return _AwkStr(node.value) if isinstance(node.value, str) else node.value
-        if isinstance(node, _pyast.BinOp):
-            lo, ro = conv(node.left), conv(node.right)
-            if isinstance(node.op, _pyast.Add):
-                return lo + ro
-            if isinstance(node.op, _pyast.Sub):
-                return lo - ro
-            if isinstance(node.op, _pyast.Mult):
-                return lo * ro
-            if isinstance(node.op, _pyast.Div):
-                return _awk_num(lo) / _awk_num(ro)
-            if isinstance(node.op, _pyast.Mod):
-                return _awk_num(lo) % _awk_num(ro)
-        if isinstance(node, _pyast.UnaryOp) and isinstance(node.op, _pyast.USub):
-            return -_awk_num(conv(node.operand))
-        raise ValueError(f"unsupported awk expression node: {node!r}")
-
-    return conv(tree)
 
 
 # ------------------------------------------------------------- filtering
