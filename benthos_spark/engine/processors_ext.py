@@ -149,44 +149,113 @@ def _topo_sort(deps: Dict[str, List[str]]) -> List[str]:
     return order
 
 
-# Grok-lite: the common pattern names used by the reference corpus, expanded
-# to named regex groups (full grok pattern files are out of scope v1).
+# Standard grok pattern library (the well-known public logstash-style
+# definitions — names and sub-pattern composition are the public contract).
 _GROK_PATTERNS = {
-    "WORD": r"\w+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "WORD": r"\b\w+\b",
     "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
     "DATA": r".*?",
     "GREEDYDATA": r".*",
-    "INT": r"[+-]?\d+",
-    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
-    "IP": r"\d{1,3}(?:\.\d{1,3}){3}",
-    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "INT": r"(?:[+-]?(?:[0-9]+))",
+    "BASE10NUM": r"(?<![0-9.+-])(?>[+-]?(?:(?:[0-9]+(?:\.[0-9]+)?)|(?:\.[0-9]+)))",
+    "NUMBER": r"(?:%{BASE10NUM})",
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "IPV4": (
+        r"(?<![0-9])(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(?![0-9])"
+    ),
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}(?:[0-9A-Fa-f]{0,4}|%{IPV4})",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": (
+        r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
+        r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*(?:\.?|\b)"
+    ),
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
+    "MONTH": (
+        r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|"
+        r"Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|"
+        r"Dec(?:ember)?)\b"
+    ),
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "YEAR": r"(?>\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"(?!<[0-9])%{HOUR}:%{MINUTE}(?::%{SECOND})(?![0-9])",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "TIMESTAMP_ISO8601": (
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}"
+        r"(?::?%{SECOND})?%{ISO8601_TIMEZONE}?"
+    ),
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
     "LOGLEVEL": r"(?:DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|TRACE)",
-    "HOSTNAME": r"[a-zA-Z0-9._-]+",
-    "USER": r"[a-zA-Z0-9._-]+",
+    "QUOTEDSTRING": r'(?>(?<!\\)(?>"(?>\\.|[^\\"]+)+"|""|(?>\'(?>\\.|[^\\\']+)+\')|\'\'|(?>`(?>\\.|[^\\`]+)+`)|``))',
+    "QS": r"%{QUOTEDSTRING}",
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} '
+        r'\[%{HTTPDATE:timestamp}\] "(?:%{WORD:verb} %{NOTSPACE:request}'
+        r'(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
+        r'%{NUMBER:response} (?:%{NUMBER:bytes}|-)'
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
 }
 
-_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.]+))?(?::(int|float|string))?\}")
 
 
-def grok_to_regex(pattern: str) -> str:
+def grok_to_regex(
+    pattern: str,
+    definitions: Dict[str, str] | None = None,
+    casts: Dict[str, str] | None = None,
+    _depth: int = 0,
+) -> str:
+    """Recursively expand %{NAME[:field[:cast]]} references against the
+    custom definitions first, then the standard library (grok.go: user
+    pattern_definitions shadow the defaults)."""
+    if _depth > 25:
+        raise ValueError("grok pattern recursion too deep")
+    defs = definitions or {}
+
     def sub(m: re.Match) -> str:
-        pat = _GROK_PATTERNS.get(m.group(1), r".*?")
-        name = m.group(2)
-        return f"(?P<{name}>{pat})" if name else f"(?:{pat})"
+        name, field, cast = m.group(1), m.group(2), m.group(3)
+        base = defs.get(name, _GROK_PATTERNS.get(name))
+        if base is None:
+            raise ValueError(f"unknown grok pattern %{{{name}}}")
+        inner = grok_to_regex(base, defs, casts, _depth + 1)
+        if field:
+            if cast is not None and casts is not None:
+                casts[field] = cast
+            safe = re.sub(r"[^a-zA-Z0-9_]", "_", field)
+            return f"(?P<{safe}>{inner})"
+        return f"(?:{inner})"
 
     return _GROK_REF.sub(sub, pattern)
 
 
 class GrokProc(Processor):
-    """grok: extract named fields into a JSON object (grok.go behavior for
-    the supported pattern subset); typed numbers parse to numbers."""
+    """grok: extract named fields into a JSON object (grok.go semantics:
+    captures stay STRINGS unless the pattern carries an explicit
+    ``:int``/``:float`` cast; remove_empty_values and named_captures_only on
+    by default; ``pattern_definitions`` shadow the standard library)."""
 
     name = "grok"
 
     def __init__(self, conf: Dict[str, Any]):
         pats = conf.get("patterns") or [conf.get("pattern", "")]
-        self.regexes = [re.compile(grok_to_regex(p)) for p in pats if p]
+        defs = {str(k): str(v) for k, v in (conf.get("pattern_definitions") or {}).items()}
+        self.casts: Dict[str, str] = {}
+        self.regexes = [
+            re.compile(grok_to_regex(p, defs, self.casts)) for p in pats if p
+        ]
         self.named_only = bool(conf.get("named_captures_only", True))
+        self.remove_empty = bool(conf.get("remove_empty_values", True))
 
     def process(self, batch: Batch, env) -> List[Batch]:
         out: Batch = []
@@ -198,9 +267,15 @@ class GrokProc(Processor):
                 if m:
                     doc = {}
                     for k, v in m.groupdict().items():
-                        if v is None:
+                        if v is None or (self.remove_empty and v == ""):
                             continue
-                        doc[k] = _maybe_number(v)
+                        cast = self.casts.get(k)
+                        if cast == "int":
+                            doc[k] = int(float(v))
+                        elif cast == "float":
+                            doc[k] = float(v)
+                        else:
+                            doc[k] = v
                     break
             if doc is None:
                 out.append(flag_err(part.copy(), "grok: no pattern matched"))

@@ -75,9 +75,26 @@ class TestProcessMap:
 
 class TestParsers:
     def test_grok_extracts_named_fields(self):
-        conf = [{"grok": {"patterns": ["%{IP:ip} %{WORD:method} %{NUMBER:ms}"]}}]
+        # grok.go semantics: captures stay strings unless cast with :int/:float
+        conf = [{"grok": {"patterns": ["%{IP:ip} %{WORD:method} %{NUMBER:ms:float}"]}}]
         out = run(conf, b"10.0.0.1 GET 13.5 trailing")
         assert json.loads(out[0][0].content) == {"ip": "10.0.0.1", "method": "GET", "ms": 13.5}
+
+    def test_grok_reference_vectors(self):
+        # /root/reference/lib/processor/grok_test.go:60-77
+        conf = [{"grok": {"patterns": ["%{COMMONAPACHELOG}"]}}]
+        out = run(conf, b'127.0.0.1 - - [23/Apr/2014:22:58:32 +0200] "GET /index.php HTTP/1.1" 404 207')
+        assert out[0][0].content.decode() == (
+            '{"auth":"-","bytes":"207","clientip":"127.0.0.1","httpversion":"1.1",'
+            '"ident":"-","request":"/index.php","response":"404",'
+            '"timestamp":"23/Apr/2014:22:58:32 +0200","verb":"GET"}'
+        )
+        conf = [{"grok": {
+            "patterns": ["%{ACTION:action} connection from %{IPV4:ipv4}"],
+            "pattern_definitions": {"ACTION": "(pass|deny)"},
+        }}]
+        out = run(conf, b"pass connection from 127.0.0.1")
+        assert json.loads(out[0][0].content) == {"action": "pass", "ipv4": "127.0.0.1"}
 
     def test_parse_log_rfc3164(self):
         conf = [{"parse_log": {"format": "syslog_rfc3164"}}]
