@@ -335,6 +335,24 @@ class NativePipeline:
 
         return t
 
+    def _c_jmespath(self, body, cols):
+        """Native subset of the jmespath processor: plain dot-path identifier
+        queries compile to get_json_object (codegen); anything using the
+        JMESPath language proper (filters, functions, pipes) raises
+        CompileError so the frame kernel (processors_ext.JMESPathProc)
+        handles it."""
+        import re as _re
+
+        query = body if isinstance(body, str) else body.get("query", "")
+        if not _re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*", query or ""):
+            raise CompileError("non-trivial jmespath query needs the frame kernel")
+        src = body.get("column", "content") if isinstance(body, dict) else "content"
+        dest = body.get("result", "result") if isinstance(body, dict) else "result"
+        _add_col(cols, dest, "string")
+        return lambda df: df.withColumn(
+            dest, F.get_json_object(F.col(src), "$." + query)
+        )
+
     def _c_batch(self, body, cols):
         """Typed-mode batch policy (lib/message/batch/policy.go:86-251): the
         count trigger maps to size-N bucketing (see _c_split), the byte_size
@@ -361,10 +379,13 @@ class NativePipeline:
                 df, order_by, F.length(F.col(size_col)), col_name="__cum"
             )
             # bucket by the running sum *before* this row joined: a batch
-            # closes once its cumulative bytes reach byte_size
+            # closes once its cumulative bytes reach byte_size (clamped so
+            # leading zero-length payloads stay in bucket 0)
             return cum.withColumn(
                 out_col,
-                F.floor((F.col("__cum") - 1) / F.lit(byte_size)).cast("long"),
+                F.floor(
+                    (F.greatest(F.col("__cum"), F.lit(1)) - 1) / F.lit(byte_size)
+                ).cast("long"),
             ).drop("__cum")
 
         return t

@@ -126,6 +126,24 @@ class Stream:
                 raise ValueError("parquet output is batch-only; use sink")
             self.df.write.mode(body.get("mode", "overwrite")).parquet(body["path"])
             return None
+        if kind == "kafka":
+            # output kafka (lib/output/writer/kafka.go): content -> value,
+            # optional key column -> kafka partitioner input. Connector jar
+            # required on a real cluster (--packages); offsets exactly-once
+            # via checkpoint + broker idempotence.
+            w = (
+                self.df.selectExpr(
+                    f"CAST({body.get('key', 'NULL')} AS STRING) AS key",
+                    f"CAST({body.get('value_column', 'content')} AS STRING) AS value",
+                )
+                .writeStream.format("kafka")
+                .option("kafka.bootstrap.servers", ",".join(body.get("addresses", [])))
+                .option("topic", body.get("topic", ""))
+                .option("checkpointLocation", body.get("checkpoint", "/tmp/bs_kafka_ckpt"))
+            )
+            q = w.start()
+            q.awaitTermination()
+            return None
         if kind == "sink":
             from ..streaming.sink import IdempotentSink, run_to_sink
 

@@ -305,3 +305,39 @@ class TestFileLinesInput:
         by_content = {bytes(r["content"]).decode(): r["batch_id"] for r in rows}
         assert by_content["a"] >> 32 == 0 and by_content["c"] >> 32 == 1
         assert rows[0]["meta"]["path"].endswith(".txt")
+
+
+@pytest.mark.spark
+class TestJmespathNativeSubset:
+    def test_simple_path_compiles_native(self, spark):
+        from benthos_spark.engine.spark_exec import NativePipeline
+
+        df = spark.createDataFrame([(1, '{"a":{"b":"x"}}')], "id long, content string")
+        pipe = NativePipeline(
+            [{"jmespath": {"query": "a.b", "column": "content", "result": "r"}}],
+            dict(df.dtypes),
+        )
+        assert pipe(df).collect()[0]["r"] == "x"
+
+    def test_complex_query_falls_back(self, spark):
+        from benthos_spark.bloblang.compiler import CompileError
+        from benthos_spark.engine.spark_exec import NativePipeline
+
+        df = spark.createDataFrame([(1, "{}")], "id long, content string")
+        with pytest.raises(CompileError):
+            NativePipeline(
+                [{"jmespath": {"query": "a[?b=='x']"}}], dict(df.dtypes)
+            )
+
+    def test_batch_bytes_zero_length_guard(self, spark):
+        from benthos_spark.engine.spark_exec import NativePipeline
+
+        df = spark.createDataFrame(
+            [(0, ""), (1, ""), (2, "abc")], "seq long, content string"
+        )
+        pipe = NativePipeline(
+            [{"batch": {"byte_size": 2, "order_by": ["seq"], "size_col": "content"}}],
+            dict(df.dtypes),
+        )
+        got = {r["seq"]: r["batch"] for r in pipe(df).collect()}
+        assert got[0] == 0 and got[1] == 0 and got[2] == 1
