@@ -197,3 +197,44 @@ class TestNewConditions:
         assert cond.check([Part(b"baz", {})], 0, env.interp) is False
         with pytest.raises(ValueError):
             build_condition({"resource": "missing"}).check([Part(b"x", {})], 0, env.interp)
+
+
+class TestAvroProperty:
+    def test_random_documents_roundtrip(self):
+        """Property: decode(encode(x)) == x across all three encodings for
+        randomized documents over a fixed record schema (seeded hypothesis)."""
+        from hypothesis import given, settings, strategies as st
+
+        from benthos_spark.formats.avro import Codec
+
+        schema = {
+            "type": "record", "name": "doc", "fields": [
+                {"name": "s", "type": "string"},
+                {"name": "n", "type": "long"},
+                {"name": "d", "type": "double"},
+                {"name": "b", "type": "boolean"},
+                {"name": "opt", "type": ["null", "string"], "default": None},
+                {"name": "arr", "type": {"type": "array", "items": "long"}},
+                {"name": "m", "type": {"type": "map", "values": "string"}},
+            ],
+        }
+        codec = Codec(schema)
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            s=st.text(max_size=40),
+            n=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            d=st.floats(allow_nan=False, allow_infinity=False),
+            b=st.booleans(),
+            opt=st.none() | st.text(max_size=10),
+            arr=st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=8),
+            m=st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=5),
+        )
+        def check(s, n, d, b, opt, arr, m):
+            datum = {"s": s, "n": n, "d": d, "b": b,
+                     "opt": None if opt is None else {"string": opt},
+                     "arr": arr, "m": m}
+            for enc in ("binary", "single"):
+                assert codec.decode(codec.encode(datum, enc), enc) == datum
+
+        check()

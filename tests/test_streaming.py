@@ -408,3 +408,49 @@ class TestChainedStatefulRestart:
 
         a, b = rows(sink_a), rows(sink_b)
         assert a == b and len(a) > 0
+
+
+@pytest.mark.spark
+class TestSourceCombinators:
+    def test_fan_in_union_by_name(self, spark):
+        from benthos_spark.streaming.source import fan_in
+
+        a = spark.createDataFrame([(1, "x")], "id long, a string")
+        b = spark.createDataFrame([(2, "y")], "id long, b string")
+        out = fan_in(a, b)
+        rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+        assert rows == {1: ("x", None), 2: (None, "y")}
+
+    @pytest.mark.streaming
+    def test_read_until_stops_query_on_condition(self, spark, tmp_path):
+        """read_until (lib/input/read_until.go): wrap a continuous stream and
+        terminate once the sink-threshold condition fires."""
+        from benthos_spark.streaming.sink import IdempotentSink
+        from benthos_spark.streaming.source import read_until, write_pages_input
+
+        in_dir = str(tmp_path / "in")
+        write_pages_input(spark, in_dir, 2000, n_chunks=4, n_hosts=10)
+        sink = IdempotentSink(str(tmp_path / "out"))
+        stream = (
+            spark.readStream.schema(
+                "url string, warc_ts timestamp, html binary, text string, lang string, seq long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+
+        def done():
+            try:
+                return len(sink.metrics()) >= 2  # stop after >= 2 committed batches
+            except Exception:
+                return False
+
+        read_until(q, done, poll_s=0.2, timeout_s=120)
+        assert not q.isActive
+        assert len(sink.metrics()) >= 2
