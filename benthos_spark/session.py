@@ -59,6 +59,13 @@ def get_spark(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+        # changelog checkpointing: commit the per-batch delta instead of a
+        # full RocksDB snapshot — the difference is marginal at test-scale
+        # state but is the knob that matters at 10^9-key dedupe state
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
