@@ -22,24 +22,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed dedupe+aggregate pipeline (the north-rule shape)
-    over the events stream table at sf0.001: dedupe key=(user_id,event_type)
-    keep-first, then 1h tumbling windows per event_type."""
-    from benthos_spark.streaming.dedupe import dedupe_exact
+    over the events stream table at sf0.001 — dedupe key=(user_id,event_type)
+    keep-first, then 1h tumbling windows per event_type — compiled by the
+    engine (NativePipeline dedupe + window stages)."""
+    from benthos_spark.engine.spark_exec import NativePipeline
 
     ev = _t(spark, "/root/testdata/sf0.001", "events")
-    deduped = dedupe_exact(ev, ["user_id", "event_type"], order_col="event_id")
-    return (
-        deduped.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        )
-        .select(
-            F.unix_timestamp("win.start").alias("win_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+    pipe = NativePipeline(
+        [
+            {"dedupe": {"keys": ["user_id", "event_type"], "order_col": "event_id",
+                        "ts_col": "ts"}},
+            {"window": {"kind": "tumbling", "size": "1 hour", "keys": ["event_type"],
+                        "ts_col": "ts",
+                        "aggs": [
+                            {"fn": "count", "as": "n"},
+                            {"fn": "sum", "col": "value", "cast": "decimal(18,2)",
+                             "out_cast": "double", "as": "sum_value"},
+                        ]}},
+        ],
+        dict(ev.dtypes),
+    )
+    return pipe(ev).select(
+        F.unix_timestamp("win_start").alias("win_start"), "event_type", "n", "sum_value"
     )
 
 

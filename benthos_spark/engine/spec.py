@@ -165,3 +165,42 @@ def run_spec(spark: SparkSession, spec: Union[str, Dict[str, Any]]) -> Optional[
     if isinstance(spec, str):
         spec = yaml.safe_load(spec)
     return Stream(spark, spec).run()
+
+
+_INPUT_KINDS = {"parquet", "file", "files", "kafka", "kafka_balanced", "stream", "generate", "inline"}
+_OUTPUT_KINDS = {"memory", "parquet", "sink", "kafka"}
+
+
+def lint_spec(spec: Union[str, Dict[str, Any]]) -> list:
+    """Validate a pipeline spec WITHOUT a SparkSession (the reference's
+    `benthos lint` surface, lib/config/lint.go behavior): unknown input/
+    output kinds, unknown processor types, and per-processor config errors
+    (bad Bloblang, bad Avro schema, bad grok pattern, ...) are collected and
+    returned as strings; an empty list means the spec builds."""
+    from .processors import build_processor
+
+    if isinstance(spec, str):
+        try:
+            spec = yaml.safe_load(spec)
+        except yaml.YAMLError as exc:
+            return [f"yaml: {exc}"]
+    errors = []
+    if not isinstance(spec, dict):
+        return ["spec must be a mapping"]
+    in_conf = spec.get("input") or {}
+    if not in_conf:
+        errors.append("input: missing")
+    else:
+        kind = next(iter(in_conf))
+        if kind not in _INPUT_KINDS:
+            errors.append(f"input: unknown kind {kind!r}")
+    out_conf = spec.get("output") or {"memory": {}}
+    kind = next(iter(out_conf))
+    if kind not in _OUTPUT_KINDS:
+        errors.append(f"output: unknown kind {kind!r}")
+    for i, p in enumerate((spec.get("pipeline") or {}).get("processors", []) or []):
+        try:
+            build_processor(p)
+        except Exception as exc:
+            errors.append(f"pipeline.processors[{i}]: {exc}")
+    return errors

@@ -298,3 +298,34 @@ class TestMultimodalPlans:
             assert "kafka" in str(exc).lower()
             return
         assert set(df.columns) == {"batch_id", "seq", "content", "meta"}
+
+
+class TestLintSpec:
+    def test_clean_spec_lints_empty(self):
+        from benthos_spark.engine.spec import lint_spec
+
+        assert lint_spec("""
+input: {parquet: {path: /tmp/x}}
+pipeline:
+  processors:
+    - bloblang: "a = b"
+output: {memory: {}}
+""") == []
+
+    def test_errors_collected(self):
+        from benthos_spark.engine.spec import lint_spec
+
+        errs = lint_spec({
+            "input": {"quantum_entanglement": {}},
+            "pipeline": {"processors": [
+                {"bloblang": "root = match {"},
+                {"avro": {"operator": "to_json", "schema": '{"type":"nope"}'}},
+                {"frobnicate": {}},
+            ]},
+            "output": {"memory": {}},
+        })
+        assert len(errs) == 4
+        assert any("quantum" in e for e in errs)
+        assert any("processors[0]" in e for e in errs)
+        assert any("nope" in e for e in errs)
+        assert any("frobnicate" in e for e in errs)
