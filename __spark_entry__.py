@@ -624,6 +624,22 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), bits=16, max_hamming=2)
 
 
+def q_repetition_score(spark, sf_dir):
+    """Within-doc n-gram repetition (Gopher-style quality signal)."""
+    from benthos_spark.ops.textstats import repetition_score
+
+    return repetition_score(_t(spark, sf_dir, "documents"), n=2)
+
+
+def q_duplicate_lines(spark, sf_dir):
+    """Cross-doc duplicate-line stats (C4-style boilerplate detector); only
+    line hashes shuffle, equality verified by the oracle grouping on the
+    line text itself."""
+    from benthos_spark.ops.textstats import duplicate_line_stats
+
+    return duplicate_line_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs: MinHash-LSH candidate pairs ->
     iterative min-label connected components (ops/graph.py, one shuffle per
@@ -722,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "dedup_clusters": q_dedup_clusters,
         "token_count_bpe": q_token_count_bpe,
+        "repetition_score": q_repetition_score,
+        "duplicate_lines": q_duplicate_lines,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1082,6 +1100,30 @@ def oracle_sql() -> dict[str, str]:
     sql["token_count"] = (
         "select doc_id, len(" + _sql_tokens("text") + ") as n_tokens from documents"
     )
+    sql["repetition_score"] = (
+        "with t as (select doc_id, " + _sql_tokens("text") + " toks from documents),\n"
+        "g as (select doc_id, greatest(len(toks) - 1, 0) as n_ngrams,\n"
+        "  [toks[i] || ' ' || toks[i+1] for i in range(1, greatest(len(toks), 1))] as grams\n"
+        "  from t)\n"
+        "select doc_id, n_ngrams,\n"
+        "  case when n_ngrams > 0\n"
+        "       then round(1.0 - len(list_distinct(grams))::DOUBLE / n_ngrams, 4)\n"
+        "       else 0.0 end as repetition\n"
+        "from g"
+    )
+    sql["duplicate_lines"] = """
+        with l as (
+          select distinct doc_id as id, trim(u.line) as line
+          from documents, unnest(str_split(text, '.')) u(line)
+          where length(trim(u.line)) > 10
+        ),
+        c as (select line, count(*) as ndocs from l group by line)
+        select l.id as doc_id, count(*) as n_lines,
+               sum(case when c.ndocs > 1 then 1 else 0 end) as n_shared,
+               round(sum(case when c.ndocs > 1 then 1 else 0 end)::DOUBLE / count(*), 4)
+                 as shared_ratio
+        from l join c using (line) group by l.id
+    """
     sql["token_count_bpe"] = r"""
         select doc_id,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))

@@ -87,3 +87,50 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.col(id_col),
         F.substring(F.md5(norm_text(F.col(text_col))), 1, 16).alias("fp"),
     )
+
+
+def repetition_score(docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): 1 - distinct
+    n-grams / total n-grams. High values mean the document repeats itself.
+    Pure Catalyst over the materialized token array; zero-gram docs score 0."""
+    from .textprep import shingles_of, tokens
+
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    total = F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+    distinct = F.size(shingles_of(F.col("__toks"), n))
+    return toks.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        F.when(total > 0, F.round(1.0 - distinct / total, 4)).otherwise(0.0).alias(
+            "repetition"
+        ),
+    )
+
+
+def duplicate_line_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cross-document duplicate-line signal (C4-style boilerplate detector):
+    per document, the fraction of its distinct lines (sentence-ish units —
+    split on '.') that also occur in some OTHER document. Shape: explode ->
+    line-hash count (one hash agg) -> per-doc ratio; line text never
+    shuffles, only 64-bit hashes."""
+    lines = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), r"\.")).alias("line"),
+        )
+        .select("id", F.trim("line").alias("line"))
+        .filter(F.length("line") > 10)
+        .select("id", F.xxhash64("line").alias("lh"))
+        .distinct()
+    )
+    counts = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("ndocs"))
+    per_doc = (
+        lines.join(counts, "lh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn("shared_ratio", F.round(F.col("n_shared") / F.col("n_lines"), 4))
+    )
+    return per_doc.select(F.col("id").alias(id_col), "n_lines", "n_shared", "shared_ratio")
