@@ -380,9 +380,12 @@ def q_avro_roundtrip(spark, sf_dir):
     from benthos_spark.engine.spark_exec import run_frame_pipeline
 
     docs = _t(spark, sf_dir, "documents")
+    # The avro chain is part-local, so run_frame_pipeline executes it via
+    # mapInPandas over natural partitions — no shuffle, full Arrow batches
+    # (round-2 fix: batch_id=doc_id used to force one-row Python groups).
     frame = docs.select(
-        F.col("doc_id").alias("batch_id"),
-        F.lit(0).alias("seq"),
+        (F.col("doc_id") / 1000).cast("long").alias("batch_id"),
+        (F.col("doc_id") % 1000).alias("seq"),
         F.encode(
             F.to_json(F.struct("doc_id", "lang", F.substring("text", 1, 16).alias("head"))),
             "utf-8",
@@ -892,7 +895,7 @@ def oracle_sql() -> dict[str, str]:
                  md5(string_agg(text, chr(10) order by doc_id)) as d
           from documents group by lang, doc_id // 64
         )
-        select lang, sum(n) as n, md5(string_agg(d, '' order by k)) as payload_md5
+        select lang, sum(n)::BIGINT as n, md5(string_agg(d, '' order by k)) as payload_md5
         from c1 group by lang
     """
     sql["json_extract"] = """
@@ -966,7 +969,8 @@ def oracle_sql() -> dict[str, str]:
                    rows between unbounded preceding and current row) as cum
           from documents
         )
-        select (cum - 1) // 4096 as batch, count(*) as n, sum(L) as total_chars
+        select ((greatest(cum, 1) - 1) // 4096)::BIGINT as batch,
+               count(*) as n, sum(L)::BIGINT as total_chars
         from c group by 1
     """
     sql["streaming_dedupe_window"] = """
@@ -1119,7 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         c as (select line, count(*) as ndocs from l group by line)
         select l.id as doc_id, count(*) as n_lines,
-               sum(case when c.ndocs > 1 then 1 else 0 end) as n_shared,
+               sum(case when c.ndocs > 1 then 1 else 0 end)::BIGINT as n_shared,
                round(sum(case when c.ndocs > 1 then 1 else 0 end)::DOUBLE / count(*), 4)
                  as shared_ratio
         from l join c using (line) group by l.id

@@ -99,6 +99,48 @@ class TestEngineStagePlans:
         assert "_chunk" in plan, plan
         assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
 
+    def test_rowlocal_frame_chain_has_no_exchange(self, spark):
+        # part-local codec chains (avro/encode/hash/...) must run via
+        # mapInPandas over natural partitions — no shuffle (r2 verdict #3)
+        from benthos_spark.engine.spark_exec import frame_from_strings, run_frame_pipeline
+
+        frame = frame_from_strings(spark, [b"hello", b"world"])
+        out = run_frame_pipeline(
+            frame,
+            [{"encode": {"scheme": "base64"}}, {"hash": {"algorithm": "sha256"}}],
+        )
+        plan = plan_of(out)
+        assert "Exchange" not in plan, plan
+        assert "MapInPandas" in plan, plan
+        assert out.count() == 2
+        # a batch-scoped stage in the chain still routes through grouped mode
+        grouped = run_frame_pipeline(frame, [{"split": {"size": 1}}])
+        assert "MapInPandas" not in plan_of(grouped)
+
+    def test_rowlocal_frame_chain_matches_grouped_mode(self, spark):
+        # the two execution surfaces must agree part-for-part
+        import json as _json
+
+        from benthos_spark.engine.spark_exec import (
+            _kernel, frame_from_strings, FRAME_OUT_SCHEMA, run_frame_pipeline,
+        )
+
+        # dense per-batch seq — the invariant every frame source guarantees;
+        # row-local mode passes (batch_id, seq) through, grouped mode
+        # renumbers densely, so they agree exactly on dense input
+        frame = (
+            frame_from_strings(spark, [f"msg-{i}".encode() for i in range(7)])
+            .withColumn("batch_id", (F.col("seq") / 3).cast("long"))
+            .withColumn("seq", F.col("seq") % 3)
+        )
+        conf = [{"encode": {"scheme": "base64"}}]
+        fast = run_frame_pipeline(frame, conf)
+        slow = frame.groupBy("batch_id").applyInPandas(
+            _kernel(_json.dumps(conf)), FRAME_OUT_SCHEMA
+        )
+        key = lambda r: (r["batch_id"], r["seq"], bytes(r["content"]))
+        assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+
     def test_select_parts_uses_window_group_limit(self, spark):
         from benthos_spark.engine.spark_exec import NativePipeline
 
