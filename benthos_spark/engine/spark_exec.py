@@ -350,8 +350,31 @@ class NativePipeline:
                 )
             raise CompileError(f"unknown window kind {kind}")
 
+        # compile-time column tracking must mirror the stage's ACTUAL output
+        # (round-2 advice: writing the pages defaults for generic windows made
+        # later stages reject real columns and accept phantom ones)
+        if keys is None:
+            out_cols = ["win_start", "win_end", "url_host"]
+            if kind == "keep_first":
+                # keep_first_of_window keeps the page payload, no win_end
+                out_cols = ["win_start", "url_host", "url", "warc_ts", "text", "lang"]
+            else:
+                out_cols += ["n_pages", "approx_urls", "total_chars", "max_ts"]
+        elif kind == "keep_first":
+            payload = body.get("payload") or [
+                c for c in cols if c not in keys
+            ]
+            out_cols = ["win_start", *keys, *payload]
+        else:
+            specs = aggs_spec or [{"fn": "count", "as": "n"}]
+            aliases = [
+                s.get("as") or (s.get("fn", "count") if not s.get("col")
+                                else f"{s.get('fn', 'count')}_{s['col']}")
+                for s in specs
+            ]
+            out_cols = ["win_start", "win_end", *keys, *aliases]
         cols.clear()
-        for c in ("win_start", "win_end", "url_host", "n_pages", "approx_urls", "total_chars", "max_ts"):
+        for c in out_cols:
             _add_col(cols, c, None)
         return t
 

@@ -120,6 +120,12 @@ class IdempotentSink:
 
     def _bind_fs(self, spark):
         if self._fs is None:
+            if spark is None:
+                raise RuntimeError(
+                    "sink filesystem not bound yet — pass spark= (e.g. "
+                    "sink.metrics(spark) / sink.is_committed(b, spark)) "
+                    "before the first write"
+                )
             self._fs = _HadoopFS(spark, self.root)
             for d in (self.data_dir, self.commits_dir, self.metrics_dir):
                 self._fs.mkdirs(d)
@@ -129,10 +135,9 @@ class IdempotentSink:
     def _commit_path(self, batch_id: int) -> str:
         return _join(self.commits_dir, f"{batch_id:020d}.json")
 
-    def is_committed(self, batch_id: int) -> bool:
-        if self._fs is None:
-            raise RuntimeError("sink filesystem not bound yet (no batch written)")
-        return self._fs.exists(self._commit_path(batch_id))
+    def is_committed(self, batch_id: int, spark=None) -> bool:
+        fs = self._bind_fs(spark)
+        return fs.exists(self._commit_path(batch_id))
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: idempotent commit keyed by batch_id."""

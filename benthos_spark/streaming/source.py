@@ -131,10 +131,15 @@ def file_lines_input(
                         rows.append((base + bidx, seq, seg, meta))
                         seq += 1
                 else:
+                    # per-file counter (not len(rows), which accumulates
+                    # across files in the same Arrow batch) so batch ids are
+                    # a pure function of (file ordinal, line index)
+                    bidx = 0
                     for seg in segs:
                         if len(seg) == 0:
                             continue
-                        rows.append((base + len(rows), 0, seg, meta))
+                        rows.append((base + bidx, 0, seg, meta))
+                        bidx += 1
             yield pd.DataFrame(rows, columns=["batch_id", "seq", "content", "meta"])
 
     return raw.select("path", "content").mapInPandas(split_files, FRAME_SCHEMA)

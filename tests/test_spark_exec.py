@@ -99,6 +99,37 @@ class TestNativeMode:
             assert r["is_en"] is True
             assert r["text_len"] > 0
 
+    def test_generic_window_tracks_actual_output_columns(self, spark):
+        # round-2 advice (medium): _c_window used to reset the tracker to the
+        # pages defaults even for generic keys/aggs, so later stages rejected
+        # real output columns and accepted phantom ones
+        from benthos_spark.engine.spark_exec import CompileError
+
+        ev = spark.createDataFrame(
+            [(1, "click", "2024-01-01 00:00:05"), (2, "view", "2024-01-01 00:00:55")],
+            "event_id long, event_type string, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        conf = [
+            {"window": {"kind": "tumbling", "size": "1 minute",
+                        "keys": ["event_type"], "ts_col": "ts",
+                        "aggs": [{"fn": "count", "as": "n"}]}},
+            {"bloblang": "big = n > 0\nkey = event_type"},
+        ]
+        pipe = NativePipeline(conf, dict(ev.dtypes))
+        rows = {r["event_type"]: r for r in pipe(ev).collect()}
+        assert rows["click"]["n"] == 1 and rows["click"]["big"] is True
+        # phantom pages columns must NOT compile after a generic window
+        with pytest.raises(CompileError):
+            NativePipeline(
+                conf[:1] + [{"bloblang": "x = n_pages"}], dict(ev.dtypes)
+            )
+        # keep_first tracks payload columns, no win_end
+        kf = [{"window": {"kind": "keep_first", "size": "1 minute",
+                          "keys": ["event_type"], "ts_col": "ts"}},
+              {"bloblang": "eid = event_id"}]
+        out = NativePipeline(kf, dict(ev.dtypes))(ev)
+        assert "win_end" not in out.columns and "eid" in out.columns
+
     def test_native_dedupe_keeps_first_by_seq(self, spark):
         df = pages(spark, 5000, n_hosts=20)
         pipe = NativePipeline([{"dedupe": {"key": '${! json("url") }'}}], set(df.columns))

@@ -185,6 +185,14 @@ class TestExactlyOnce:
         assert sink.read(spark).count() == n1
         assert n1 == spark.read.parquet(in_dir).select("url").distinct().count()
 
+    def test_unbound_scheme_sink_raises_clear_error(self, spark):
+        # scheme'd root -> Hadoop FS bound lazily; pre-bind calls must raise
+        # a clear error (not AttributeError on None._jvm) and accept spark=
+        s = IdempotentSink("file:/tmp/bs_unbound_probe")
+        with pytest.raises(RuntimeError, match="pass spark="):
+            s.metrics()
+        assert s.is_committed(0, spark) is False  # lazily binds via spark=
+
     def test_ttl_state_survives_restart(self, spark, tmp_path):
         """applyInPandasWithState dedupe state must carry across a restart:
         a duplicate url arriving in run 2 within TTL of its run-1 admission
