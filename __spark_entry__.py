@@ -1005,11 +1005,19 @@ def oracle_sql() -> dict[str, str]:
         where round(n::DOUBLE / (x.sz + y.sz - n), 4) >= 0.1
         """
     )
+    # k-lanes-per-digest signature (ops/dedup.py minhash_wide): hash h =
+    # 28-bit lane (h % 4) of md5('(h//4)|shingle') — 7 hex digits starting
+    # at offset 7*(h % 4)
+    _lane = (
+        "(SELECT sum((strpos('0123456789abcdef',"
+        " substring(md5((h // 4)::VARCHAR || '|' || s), d + 7 * (h % 4), 1)) - 1)"
+        " * (1::BIGINT << (4 * (7 - d))))::BIGINT FROM generate_series(1, 7) gs(d))"
+    )
     sql["dedup_minhash_lsh"] = (
         _SQL_BIGRAMS
         + """,
         hs as (select doc_id, h,
-                 min(""" + _SQL_MD5_60.format(c="h::VARCHAR || '|' || s") + """) sig
+                 min(""" + _lane + """) sig
                from sh, generate_series(0, 15) g(h) group by doc_id, h),
         band as (select doc_id, h // 4 as band,
                    string_agg(sig::VARCHAR, ',' order by h) as band_key

@@ -62,24 +62,43 @@ def ngram_jaccard_pairs(
     return out
 
 
+MINHASH_LANES = 4  # 28-bit lanes (7 hex digits) per md5 digest
+
+
 def minhash_wide(
     docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Wide MinHash signature: column m_h (h in 0..k-1) = min over shingles
-    of the 60-bit md5 digest of 'h|shingle' (shared cross-engine formula,
-    textprep.md5_60bit). Returns (id, m0..m{k-1}).
+    """Wide MinHash signature via k-lanes-per-digest: hash h = lane (h % 4)
+    of md5('(h//4)|shingle'), each lane the 28-bit value of 7 hex digits.
+    One md5 call yields FOUR hash lanes, so k=16 costs 4 digest computations
+    per shingle instead of 16 (round-2 verdict: the k independent md5 calls
+    were the dominant cost of the heaviest batch query). 28-bit lanes add
+    ~n_shingles/2^28 collision bias per lane — negligible at any realistic
+    per-doc shingle count, and a band key still concatenates r lanes.
+    Returns (id, m0..m{k-1}); same formula expressed in the DuckDB oracle.
 
-    Plan shape: ONE HashAggregate with k min(LONG) columns over the exploded
-    shingles. min over hex STRINGS would be a SortAggregate (var-length agg
-    buffers are not hash-aggregatable) and a k-way row explosion would put
-    k x rows through the shuffle — both measured significantly slower."""
+    Plan shape: digests materialize in ONE Project under ONE HashAggregate
+    with k min(LONG) columns over the exploded shingles. min over hex
+    STRINGS would be a SortAggregate (var-length agg buffers are not
+    hash-aggregatable) and a k-way row explosion would put k x rows through
+    the shuffle — both measured significantly slower."""
     sh = exploded_shingles(docs, n, text_col, id_col)
-    return sh.groupBy("id").agg(
+    n_salts = (k + MINHASH_LANES - 1) // MINHASH_LANES
+    proj = sh.select(
+        "id",
         *[
-            F.min(md5_60bit(F.concat(F.lit(f"{h}|"), F.col("s")))).alias(f"m{h}")
-            for h in range(k)
-        ]
+            F.md5(F.concat(F.lit(f"{salt}|"), F.col("s"))).alias(f"_d{salt}")
+            for salt in range(n_salts)
+        ],
     )
+    aggs = []
+    for h in range(k):
+        salt, lane = divmod(h, MINHASH_LANES)
+        lane_col = F.conv(
+            F.substring(F.col(f"_d{salt}"), 1 + 7 * lane, 7), 16, 10
+        ).cast("long")
+        aggs.append(F.min(lane_col).alias(f"m{h}"))
+    return proj.groupBy("id").agg(*aggs)
 
 
 def minhash_signatures(
