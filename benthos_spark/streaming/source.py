@@ -145,6 +145,18 @@ def file_lines_input(
     return raw.select("path", "content").mapInPandas(split_files, FRAME_SCHEMA)
 
 
+def has_kafka(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector jar is on the classpath
+    (same jar-gating pattern as sink.has_iceberg)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def kafka_frame_stream(
     spark: SparkSession,
     addresses: list[str],

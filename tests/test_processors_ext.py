@@ -96,6 +96,52 @@ class TestParsers:
         out = run(conf, b"pass connection from 127.0.0.1")
         assert json.loads(out[0][0].content) == {"action": "pass", "ipv4": "127.0.0.1"}
 
+    STD_PATTERN_CASES = [
+        # (pattern, input, expected subset of extracted fields)
+        ("%{UUID:id}", "id=550e8400-e29b-41d4-a716-446655440000 ok",
+         {"id": "550e8400-e29b-41d4-a716-446655440000"}),
+        ("%{MAC:mac}", "dev at 00:1a:2b:3c:4d:5e up", {"mac": "00:1a:2b:3c:4d:5e"}),
+        ("%{MAC:mac}", "dev at 001a.2b3c.4d5e up", {"mac": "001a.2b3c.4d5e"}),
+        ("%{UNIXPATH:p}", "read /var/log/app-1.log now", {"p": "/var/log/app-1.log"}),
+        ("%{URI:uri}", "fetch https://example.com:8443/a/b?x=1 done",
+         {"uri": "https://example.com:8443/a/b?x=1", "port": "8443"}),
+        ("%{SYSLOGBASE} %{GREEDYDATA:msg}",
+         "Oct 11 22:14:15 mymachine su[230]: 'su root' failed",
+         {"timestamp": "Oct 11 22:14:15", "logsource": "mymachine",
+          "program": "su", "pid": "230", "msg": "'su root' failed"}),
+        ("%{DATESTAMP:ts}", "at 10/24/2023 22:58:32 end", {"ts": "10/24/2023 22:58:32"}),
+        ("%{DATESTAMP_RFC2822:ts}", "Tue, 24 Oct 2023 22:58:32 +0200 -",
+         {"ts": "Tue, 24 Oct 2023 22:58:32 +0200"}),
+        ("%{LOGLEVEL:lvl}", "level=warning x", {"lvl": "warning"}),
+        ("%{BASE16NUM:n}", "ptr 0xdeadBEEF!", {"n": "0xdeadBEEF"}),
+        ("%{HOSTPORT:hp}", "-> 10.1.2.3:8080 ok", {"hp": "10.1.2.3:8080"}),
+        ("%{COMBINEDAPACHELOG}",
+         '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /a.png HTTP/1.0" '
+         '200 2326 "http://ref.example/start.html" "Mozilla/4.08"',
+         {"clientip": "127.0.0.1", "auth": "frank", "verb": "GET",
+          "response": "200", "bytes": "2326",
+          "referrer": '"http://ref.example/start.html"', "agent": '"Mozilla/4.08"'}),
+    ]
+
+    @pytest.mark.parametrize(
+        "pattern,text,expected",
+        STD_PATTERN_CASES,
+        ids=[c[0][: c[0].index("}") + 1] for c in STD_PATTERN_CASES],
+    )
+    def test_grok_standard_pattern_library(self, pattern, text, expected):
+        # vjeantet/trivago-style standard set embedded by grok.go:13
+        out = run([{"grok": {"patterns": [pattern]}}], text.encode())
+        doc = json.loads(out[0][0].content)
+        for k, v in expected.items():
+            assert doc.get(k) == v, (k, doc)
+
+    def test_grok_every_std_pattern_compiles(self):
+        from benthos_spark.engine.processors_ext import _GROK_PATTERNS, grok_to_regex
+        import re as _re
+
+        for name in _GROK_PATTERNS:
+            _re.compile(grok_to_regex("%{" + name + ":x}"))
+
     def test_parse_log_rfc3164(self):
         conf = [{"parse_log": {"format": "syslog_rfc3164"}}]
         out = run(conf, b"<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed")

@@ -342,6 +342,52 @@ class TestIcebergSink:
 
 
 @pytest.mark.spark
+class TestKafkaInput:
+    """Jar-gated kafka path (lib/input/reader/kafka.go:28-103 analog).
+
+    Without the spark-sql-kafka connector the frame-stream constructor must
+    fail with a clear, actionable error; with it, the source must emit the
+    schemaless message frame and keep offsets in the CHECKPOINT (consumer
+    group deliberately unmapped — kafka.go:238-243's commit-after-ack is
+    upgraded to exactly-once via checkpointed offsets)."""
+
+    def test_kafka_frame_stream_schema_or_clear_error(self, spark):
+        from benthos_spark.engine.spark_exec import FRAME_SCHEMA
+        from benthos_spark.streaming.source import has_kafka, kafka_frame_stream
+
+        if not has_kafka(spark):
+            with pytest.raises(Exception) as ei:
+                kafka_frame_stream(spark, ["broker:9092"], ["topic"])
+            assert "kafka" in str(ei.value).lower()
+            pytest.skip("spark-sql-kafka connector jar not on classpath")
+        df = kafka_frame_stream(spark, ["broker:9092"], ["topic"])
+        assert df.isStreaming
+        assert [f.name for f in df.schema.fields] == [f.name for f in FRAME_SCHEMA.fields]
+        assert dict(df.dtypes)["content"] == "binary"
+        # offsets-in-checkpoint: the reader must NOT set a consumer group
+        # (group offsets on the broker would fight the checkpoint's)
+        plan = df._jdf.queryExecution().logical().toString()
+        assert "kafka.group.id" not in plan
+
+    def test_spec_kafka_input_maps_to_frame(self, spark):
+        from benthos_spark.engine.spec import Stream
+        from benthos_spark.streaming.source import has_kafka
+
+        if not has_kafka(spark):
+            pytest.skip("spark-sql-kafka connector jar not on classpath")
+        stream = Stream(
+            spark,
+            {
+                "input": {"kafka": {"addresses": ["broker:9092"], "topics": ["t"]}},
+                "pipeline": {"processors": []},
+                "output": {"memory": {}},
+            },
+        )
+        assert stream.df.isStreaming
+        assert "content" in stream.df.columns and "meta" in stream.df.columns
+
+
+@pytest.mark.spark
 @pytest.mark.streaming
 class TestChainedStatefulRestart:
     def test_dedupe_window_chain_survives_restart(self, spark, tmp_path):
