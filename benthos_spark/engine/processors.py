@@ -22,6 +22,7 @@ import gzip
 import hashlib
 import io
 import json as _json
+import os
 import re
 import tarfile
 import time
@@ -83,17 +84,95 @@ class MemoryCache:
         self.items.pop(key, None)
 
 
+class FileCache:
+    """File-backed KV cache (semantics of lib/cache/file.go: one file per
+    key under a directory) — the cross-job sibling of MemoryCache: any two
+    pipelines pointed at the same directory (local FS / NFS / fuse-mounted
+    object store) share state, which makes cross-job dedupe testable.
+
+    Keys hex-encode to stay filesystem-safe. ``add`` is create-exclusive
+    (O_CREAT|O_EXCL — atomic on POSIX), the property exactly-once dedupe
+    relies on. Optional TTL is enforced on read via file mtime."""
+
+    def __init__(self, directory: str, ttl: Optional[float] = None):
+        self.dir = directory
+        self.ttl = ttl
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.dir, key.encode("utf-8").hex())
+
+    def _alive(self, p: str) -> bool:
+        try:
+            st = os.stat(p)
+        except FileNotFoundError:
+            return False
+        return self.ttl is None or (time.time() - st.st_mtime) <= self.ttl
+
+    def get(self, key: str) -> Optional[bytes]:
+        p = self._path(key)
+        if not self._alive(p):
+            return None
+        try:
+            with open(p, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def set(self, key: str, value: bytes) -> None:
+        p = self._path(key)
+        tmp = p + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(value)
+        os.replace(tmp, p)
+
+    def add(self, key: str, value: bytes) -> bool:
+        """False if key already present (ErrKeyAlreadyExists semantics)."""
+        p = self._path(key)
+        if not self._alive(p):
+            try:
+                os.remove(p)  # expired tombstone; losing the race is fine
+            except FileNotFoundError:
+                pass
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(value)
+        return True
+
+    def delete(self, key: str) -> None:
+        try:
+            os.remove(self._path(key))
+        except FileNotFoundError:
+            pass
+
+
+def build_cache(conf: Optional[Dict[str, Any]] = None):
+    """Cache backend constructor (lib/cache/constructor.go analog; memory
+    and file are the two backends that matter without external services)."""
+    conf = conf or {}
+    kind = conf.get("type", "memory")
+    if kind == "memory":
+        return MemoryCache(ttl=float(conf.get("ttl", 300.0)))
+    if kind == "file":
+        ttl = conf.get("ttl")
+        return FileCache(conf["directory"], ttl=float(ttl) if ttl is not None else None)
+    raise ValueError(f"unknown cache backend {kind!r} (memory|file)")
+
+
 class Resources:
     """Named shared resources (caches, conditions, processors)."""
 
     def __init__(self):
-        self.caches: Dict[str, MemoryCache] = {}
+        self.caches: Dict[str, Any] = {}
         self.conditions: Dict[str, Condition] = {}
         self.processors: Dict[str, "Processor"] = {}
 
-    def cache(self, name: str) -> MemoryCache:
+    def cache(self, name: str, conf: Optional[Dict[str, Any]] = None):
         if name not in self.caches:
-            self.caches[name] = MemoryCache()
+            self.caches[name] = build_cache(conf)
         return self.caches[name]
 
 
@@ -617,6 +696,9 @@ class DedupeProc(Processor):
         self.key = InterpolatedField(conf["key"]) if conf.get("key") else None
         self.hash = conf.get("hash", "none")
         self.drop_on_err = conf.get("drop_on_err", True)
+        # optional backend config; {"type": "file", "directory": ...} makes
+        # the dedupe cache shared across jobs/restarts via the filesystem
+        self.backend = conf.get("backend")
 
     def process(self, batch, env):
         if self.key is not None:
@@ -628,7 +710,7 @@ class DedupeProc(Processor):
             key = buf.decode("utf-8", errors="replace")
         if self.hash == "xxhash":
             key = str(xxhash64_int(key.encode()))
-        cache = env.resources.cache(self.cache_name)
+        cache = env.resources.cache(self.cache_name, self.backend)
         if cache.add(key, b"t"):
             return [batch]
         return []
@@ -642,9 +724,13 @@ class CacheProc(Processor):
         self.operator = conf.get("operator", "set")
         self.key = InterpolatedField(str(conf.get("key", "")))
         self.value = InterpolatedField(str(conf.get("value", "")))
+        # optional inline backend config ({"type": "file", "directory": ...,
+        # "ttl": ...}); a file backend makes the cache shared across jobs,
+        # groups, and restarts via the filesystem
+        self.backend = conf.get("backend")
 
     def process(self, batch, env):
-        cache = env.resources.cache(self.cache_name)
+        cache = env.resources.cache(self.cache_name, self.backend)
         out: Batch = []
         for i, part in enumerate(batch):
             key = self.key.resolve(env.interp, batch, i)

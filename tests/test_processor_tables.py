@@ -52,6 +52,60 @@ class TestDedupeTable:
         assert cache.add("k", b"1")  # expired (memory.go:42-68 semantics)
 
 
+class TestFileCache:
+    """lib/cache/file.go semantics: one file per key; add is atomic
+    create-exclusive; state shared by anything pointing at the directory."""
+
+    def test_set_get_add_delete(self, tmp_path):
+        from benthos_spark.engine.processors import FileCache
+
+        c = FileCache(str(tmp_path / "c"))
+        assert c.get("k") is None
+        c.set("k", b"v1")
+        assert c.get("k") == b"v1"
+        assert not c.add("k", b"v2")  # ErrKeyAlreadyExists
+        c.set("k", b"v3")  # set overwrites
+        assert c.get("k") == b"v3"
+        c.delete("k")
+        assert c.get("k") is None and c.add("k", b"v4")
+        c.set("weird/key:é", b"x")  # keys hex-encode: any string is safe
+        assert c.get("weird/key:é") == b"x"
+
+    def test_ttl_expiry_via_mtime(self, tmp_path):
+        import os
+
+        from benthos_spark.engine.processors import FileCache
+
+        c = FileCache(str(tmp_path / "c"), ttl=60.0)
+        assert c.add("k", b"1")
+        # age the file beyond the TTL
+        p = c._path("k")
+        old = os.stat(p).st_mtime - 120
+        os.utime(p, (old, old))
+        assert c.get("k") is None
+        assert c.add("k", b"2")  # expired entry re-admits
+
+    def test_cross_job_dedupe_through_file_backend(self, tmp_path):
+        """Two independent Env/Resources (two 'jobs') share dedupe state via
+        the same cache directory — what MemoryCache cannot do."""
+        backend = {"type": "file", "directory": str(tmp_path / "shared")}
+        conf = [{"dedupe": {"key": '${! json("id") }', "cache": "x",
+                            "backend": backend}}]
+        job1, job2 = Env(), Env()
+        assert run_batch(conf, [b'{"id":7}'], env=job1)
+        # second job (fresh Env/Resources) sees the first job's key
+        assert not run_batch(conf, [b'{"id":7}'], env=job2)
+        assert run_batch(conf, [b'{"id":8}'], env=job2)
+
+    def test_build_cache_rejects_unknown_backend(self):
+        import pytest
+
+        from benthos_spark.engine.processors import build_cache
+
+        with pytest.raises(ValueError, match="memory|file"):
+            build_cache({"type": "redis"})
+
+
 class TestSplitTable:
     """lib/processor/split_test.go shapes: size chunks with remainder,
     byte_size bucketing."""
