@@ -19,7 +19,6 @@ import binascii
 import copy
 import hashlib
 import hmac as hmac_mod
-import html as html_mod
 import math
 import re
 import urllib.parse
@@ -675,9 +674,11 @@ class Interpreter:
             except Exception as exc:
                 raise BloblangError(f"unquote failed: {exc}")
         if name == "strip_html":
-            s = get_string(v)
-            s = re.sub(r"<[^>]*>", "", s)
-            return html_mod.unescape(s)
+            # tags stripped, entities passed through — the reference's
+            # bluemonday strict policy (methods_strings.go:601) never
+            # DECODES entities, and the compiled Catalyst path
+            # (compiler.py strip_html) agrees
+            return re.sub(r"<[^>]*>", "", get_string(v))
         if name == "escape_url_query":
             return urllib.parse.quote_plus(get_string(v))
         if name == "unescape_url_query":
