@@ -409,6 +409,79 @@ def q_avro_roundtrip(spark, sf_dir):
     )
 
 
+def q_awk_text_stats(spark, sf_dir):
+    """awk processor over the frame pipeline (engine/awk_mini.py full
+    grammar — split + array + for loop; lib/processor/awk.go codec=text
+    semantics): per-document whitespace token count and count of tokens
+    longer than 3 chars, printed by the program and re-parsed into typed
+    columns. The chain is part-local, so it runs via mapInPandas over
+    natural partitions — no shuffle."""
+    from benthos_spark.engine.spark_exec import run_frame_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    frame = docs.select(
+        F.col("doc_id").alias("batch_id"),
+        F.lit(0).alias("seq"),
+        F.encode("text", "utf-8").alias("content"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    prog = (
+        "{ n = split($0, w); c = 0;"
+        "  for (i = 1; i <= n; i++) if (length(w[i]) > 3) c++;"
+        "  print n, c }"
+    )
+    out = run_frame_pipeline(frame, [{"awk": {"codec": "text", "program": prog}}])
+    s = F.split(F.col("content").cast("string"), " ")
+    return out.select(
+        F.col("batch_id").alias("doc_id"),
+        s[0].cast("long").alias("n_tokens"),
+        s[1].cast("long").alias("n_long_tokens"),
+    )
+
+
+def q_grok_apache(spark, sf_dir):
+    """grok processor with the standard pattern library (COMMONAPACHELOG,
+    lib/processor/grok.go + grok_test.go:66-68 vector shape): synthesize an
+    apache access-log line per event, grok it back into typed fields, and
+    compare against the direct expressions the line was built from.
+    Part-local chain -> mapInPandas, no shuffle."""
+    from benthos_spark.engine.spark_exec import run_frame_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    ip = F.format_string(
+        "10.0.%d.%d",
+        ((F.col("event_id") / 256).cast("long") % 256).cast("int"),
+        (F.col("event_id") % 256).cast("int"),
+    )
+    resp = F.when(F.col("event_type") == "error", F.lit(500)).otherwise(F.lit(200))
+    line = F.format_string(
+        '%s - user%d [10/Oct/2000:13:55:36 -0700] "GET /e/%d HTTP/1.1" %d %d',
+        ip,
+        F.col("user_id").cast("int"),
+        F.col("event_id").cast("int"),
+        resp,
+        (F.col("event_id") % 4096).cast("int"),
+    )
+    frame = ev.select(
+        F.col("event_id").alias("batch_id"),
+        F.lit(0).alias("seq"),
+        F.encode(line, "utf-8").alias("content"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    out = run_frame_pipeline(
+        frame, [{"grok": {"patterns": ["%{COMMONAPACHELOG}"]}}]
+    )
+    doc = F.col("content").cast("string")
+    return out.select(
+        F.col("batch_id").alias("event_id"),
+        F.get_json_object(doc, "$.clientip").alias("clientip"),
+        F.get_json_object(doc, "$.auth").alias("auth"),
+        F.get_json_object(doc, "$.request").alias("request"),
+        F.get_json_object(doc, "$.response").cast("int").alias("response"),
+        F.get_json_object(doc, "$.bytes").cast("long").alias("nbytes"),
+    )
+
+
 def q_jmespath_extract(spark, sf_dir):
     """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
     frame kernel, lib/processor/jmespath.go:142)."""
@@ -725,6 +798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "select_parts": q_select_parts,
         "avro_roundtrip": q_avro_roundtrip,
+        "awk_text_stats": q_awk_text_stats,
+        "grok_apache": q_grok_apache,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -950,6 +1025,23 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["avro_roundtrip"] = """
         select doc_id, lang, substring(text, 1, 16) as head from documents
+    """
+    sql["awk_text_stats"] = r"""
+        with w as (select doc_id, str_split_regex(trim(text), '\s+') as toks
+                   from documents)
+        select doc_id, len(toks)::BIGINT as n_tokens,
+               len(list_filter(toks, x -> length(x) > 3))::BIGINT as n_long_tokens
+        from w
+    """
+    sql["grok_apache"] = """
+        select event_id,
+               '10.0.' || ((event_id // 256) % 256)::VARCHAR || '.'
+                       || (event_id % 256)::VARCHAR as clientip,
+               'user' || user_id::VARCHAR as auth,
+               '/e/' || event_id::VARCHAR as request,
+               (case when event_type = 'error' then 500 else 200 end)::INT as response,
+               (event_id % 4096)::BIGINT as nbytes
+        from events
     """
     sql["jmespath_extract"] = """
         select event_id, json_extract_string(props, '$.k')::INT as k2,
