@@ -482,6 +482,37 @@ def q_grok_apache(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (ops/redact.py, pure Catalyst): deterministic
+    email/IP/phone strings seeded from doc_id (the synthetic corpus carries
+    no organic PII), then per-family counts + placeholder redaction,
+    value-checked via md5 of the redacted text against the identical RE2
+    formulas in DuckDB."""
+    from benthos_spark.ops.redact import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(" tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = pii_redact(seeded)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.md5("redacted").alias("redacted_md5"),
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+    )
+
+
 def q_jmespath_extract(spark, sf_dir):
     """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
     frame kernel, lib/processor/jmespath.go:142)."""
@@ -800,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": q_avro_roundtrip,
         "awk_text_stats": q_awk_text_stats,
         "grok_apache": q_grok_apache,
+        "pii_redact": q_pii_redact,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1043,6 +1075,26 @@ def oracle_sql() -> dict[str, str]:
                (event_id % 4096)::BIGINT as nbytes
         from events
     """
+    from benthos_spark.ops.redact import sql_counts as _pii_counts, sql_redact as _pii_redact
+
+    _pc = _pii_counts("t")
+    sql["pii_redact"] = (
+        """
+        with s as (
+          select doc_id,
+            substring(text, 1, 40) || ' reach user' || doc_id::VARCHAR
+            || '@example.com from 10.' || (doc_id % 200)::VARCHAR
+            || '.0.' || (doc_id % 250)::VARCHAR
+            || ' tel 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') as t
+          from documents)
+        select doc_id, md5("""
+        + _pii_redact("t")
+        + """) as redacted_md5,
+            """
+        + _pc["n_emails"] + " as n_emails,\n            "
+        + _pc["n_ips"] + " as n_ips,\n            "
+        + _pc["n_phones"] + " as n_phones\n        from s"
+    )
     sql["jmespath_extract"] = """
         select event_id, json_extract_string(props, '$.k')::INT as k2,
                json_extract_string(props, '$.k')::INT > 5 as big

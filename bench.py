@@ -68,6 +68,8 @@ HEADLINE = [
     "neardup_lsh",
     "fingerprint",
     "avro_roundtrip",
+    "awk_text_stats",
+    "grok_apache",
     "streaming_dedupe_window",
 ]
 
