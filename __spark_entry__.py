@@ -513,6 +513,49 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (ops/urltools.py, pure Catalyst): deterministic
+    synthetic URLs seeded from doc_id (mixed-case scheme/host, default and
+    non-default ports, tracking params, unsorted query, fragments, empty
+    paths, .co.uk registered domains), value-checked against the identical
+    regex/list formulas in DuckDB."""
+    from benthos_spark.ops.urltools import url_canonicalize
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(d % 3 == 0, F.lit("HTTP"))
+            .when(d % 3 == 1, F.lit("https"))
+            .otherwise(F.lit("http")),
+            F.lit("://WWW.Site"), (d % 50).cast("string"),
+            F.when(d % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.when(d % 5 == 0, F.lit(":80"))
+            .when(d % 5 == 1, F.lit(":443"))
+            .when(d % 5 == 2, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("/p"), (d % 7).cast("string"),
+                    F.when(d % 2 == 0, F.lit("/x")).otherwise(F.lit("")),
+                )
+            ),
+            F.when(d % 6 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("?b="), (d % 9).cast("string"),
+                    F.lit("&utm_source=s&a="), (d % 3).cast("string"),
+                )
+            ),
+            F.when(d % 2 == 1, F.lit("#sec")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    out = url_canonicalize(docs)
+    return out.select(
+        F.col("id").alias("doc_id"), "url_norm", "host",
+        "registered_domain", "path_depth", "n_params",
+    )
+
+
 def q_jmespath_extract(spark, sf_dir):
     """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
     frame kernel, lib/processor/jmespath.go:142)."""
@@ -832,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "awk_text_stats": q_awk_text_stats,
         "grok_apache": q_grok_apache,
         "pii_redact": q_pii_redact,
+        "url_canonicalize": q_url_canonicalize,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1094,6 +1138,33 @@ def oracle_sql() -> dict[str, str]:
         + _pc["n_emails"] + " as n_emails,\n            "
         + _pc["n_ips"] + " as n_ips,\n            "
         + _pc["n_phones"] + " as n_phones\n        from s"
+    )
+    from benthos_spark.ops.urltools import sql_canon_ctes as _url_ctes
+
+    sql["url_canonicalize"] = (
+        """
+        with s as (
+          select doc_id,
+            (case doc_id % 3 when 0 then 'HTTP' when 1 then 'https' else 'http' end)
+            || '://WWW.Site' || (doc_id % 50)::VARCHAR
+            || (case when doc_id % 4 = 0 then '.co.uk' else '.com' end)
+            || (case doc_id % 5 when 0 then ':80' when 1 then ':443'
+                                when 2 then ':8080' else '' end)
+            || (case when doc_id % 11 = 0 then ''
+                     else '/p' || (doc_id % 7)::VARCHAR
+                          || (case when doc_id % 2 = 0 then '/x' else '' end) end)
+            || (case when doc_id % 6 = 0 then ''
+                     else '?b=' || (doc_id % 9)::VARCHAR
+                          || '&utm_source=s&a=' || (doc_id % 3)::VARCHAR end)
+            || (case when doc_id % 2 = 1 then '#sec' else '' end) as url
+          from documents),
+        """
+        + _url_ctes("url", "s", "doc_id")
+        + """
+        select id as doc_id, url_norm, host, registered_domain,
+               path_depth, n_params
+        from c
+        """
     )
     sql["jmespath_extract"] = """
         select event_id, json_extract_string(props, '$.k')::INT as k2,
