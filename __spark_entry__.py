@@ -556,6 +556,36 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_boilerplate_c4(spark, sf_dir):
+    """C4-style boilerplate line removal (ops/boilerplate.py, pure
+    Catalyst): deterministic multi-line pages seeded from doc_id (nav bars,
+    javascript notices, code fragments, short CTAs, lorem-ipsum markers
+    interleaved with real sentences), line-filtered by the C4 recipe and
+    value-checked via md5 of the cleaned text against the identical
+    formulas in DuckDB."""
+    from benthos_spark.ops.boilerplate import boilerplate_stats
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 60), F.lit(" more words here today.")),
+            F.lit("Home | About | Contact"),
+            F.when(d % 3 == 0, F.lit("Please enable Javascript to continue viewing.")),
+            F.when(d % 4 == 0, F.lit("function f() { return 1; }")),
+            F.lit("Buy now!"),
+            F.when(d % 17 == 0, F.lit("Lorem ipsum dolor sit amet sentence.")),
+            F.concat(F.substring("text", 30, 50), F.lit(" and so it goes.")),
+        ).alias("text"),
+    )
+    out = boilerplate_stats(docs)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_lines", "n_kept", "kept_ratio",
+        F.md5("cleaned").alias("cleaned_md5"), "has_lorem",
+    )
+
+
 def q_jmespath_extract(spark, sf_dir):
     """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
     frame kernel, lib/processor/jmespath.go:142)."""
@@ -876,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_apache": q_grok_apache,
         "pii_redact": q_pii_redact,
         "url_canonicalize": q_url_canonicalize,
+        "boilerplate_c4": q_boilerplate_c4,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1163,6 +1194,32 @@ def oracle_sql() -> dict[str, str]:
         + """
         select id as doc_id, url_norm, host, registered_domain,
                path_depth, n_params
+        from c
+        """
+    )
+    from benthos_spark.ops.boilerplate import sql_boilerplate_ctes as _bp_ctes
+
+    sql["boilerplate_c4"] = (
+        """
+        with s as (
+          select doc_id,
+            concat_ws(chr(10),
+              substring(text, 1, 60) || ' more words here today.',
+              'Home | About | Contact',
+              case when doc_id % 3 = 0
+                   then 'Please enable Javascript to continue viewing.' end,
+              case when doc_id % 4 = 0 then 'function f() { return 1; }' end,
+              'Buy now!',
+              case when doc_id % 17 = 0
+                   then 'Lorem ipsum dolor sit amet sentence.' end,
+              substring(text, 30, 50) || ' and so it goes.'
+            ) as text
+          from documents),
+        """
+        + _bp_ctes("text", "s", "doc_id")
+        + """
+        select id as doc_id, n_lines, n_kept, kept_ratio,
+               md5(cleaned) as cleaned_md5, has_lorem
         from c
         """
     )
