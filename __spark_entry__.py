@@ -586,6 +586,20 @@ def q_boilerplate_c4(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (ops/asof.py): each click event picks up the most recent
+    prior-or-equal purchase by the same user. The Spark side is the
+    union+window composition; the oracle is DuckDB's NATIVE ASOF JOIN — an
+    independent implementation of the semantics, not a formula twin."""
+    from benthos_spark.ops.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, on="ts", by="user_id", right_cols=("value",))
+    return out.select("event_id", "user_id", "ts", "r_value", "r_ts")
+
+
 def q_jmespath_extract(spark, sf_dir):
     """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
     frame kernel, lib/processor/jmespath.go:142)."""
@@ -907,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "url_canonicalize": q_url_canonicalize,
         "boilerplate_c4": q_boilerplate_c4,
+        "asof_join": q_asof_join,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1223,6 +1238,16 @@ def oracle_sql() -> dict[str, str]:
         from c
         """
     )
+    sql["asof_join"] = """
+        select l.event_id, l.user_id, l.ts,
+               r.value as r_value, r.ts as r_ts
+        from (select event_id, user_id, ts from events
+              where event_type = 'click') l
+        asof left join
+             (select user_id, ts, value from events
+              where event_type = 'purchase') r
+          on l.user_id = r.user_id and l.ts >= r.ts
+    """
     sql["jmespath_extract"] = """
         select event_id, json_extract_string(props, '$.k')::INT as k2,
                json_extract_string(props, '$.k')::INT > 5 as big
