@@ -600,6 +600,31 @@ def q_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", "ts", "r_value", "r_ts")
 
 
+def q_rollup_hourly(spark, sf_dir):
+    """Hypertable rollup cascade (ops/rollup.py): raw -> minute -> hour,
+    hour derived by re-aggregating minute partials. The oracle is a DIRECT
+    hourly group-by from raw in DuckDB — an algebraically independent path.
+    Sums run over floor(value*100) longs so cascade vs direct addition
+    order cannot produce float drift."""
+    from benthos_spark.ops.rollup import rollup_cascade
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = rollup_cascade(
+        ev, ts_col="ts", keys=("event_type",), value_col="cents",
+        grains=("minute", "hour"),
+    )
+    return out.select(
+        F.col("g_start").alias("hour_start"), "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_v").cast("long").alias("sum_cents"),
+        F.col("min_v").cast("long").alias("min_cents"),
+        F.col("max_v").cast("long").alias("max_cents"),
+    )
+
+
 def q_jmespath_extract(spark, sf_dir):
     """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
     frame kernel, lib/processor/jmespath.go:142)."""
@@ -922,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "boilerplate_c4": q_boilerplate_c4,
         "asof_join": q_asof_join,
+        "rollup_hourly": q_rollup_hourly,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1238,6 +1264,15 @@ def oracle_sql() -> dict[str, str]:
         from c
         """
     )
+    sql["rollup_hourly"] = """
+        select date_trunc('hour', ts) as hour_start, event_type,
+               count(*)::BIGINT as n,
+               sum(floor(value * 100)::BIGINT)::BIGINT as sum_cents,
+               min(floor(value * 100)::BIGINT)::BIGINT as min_cents,
+               max(floor(value * 100)::BIGINT)::BIGINT as max_cents
+        from events
+        group by 1, 2
+    """
     sql["asof_join"] = """
         select l.event_id, l.user_id, l.ts,
                r.value as r_value, r.ts as r_ts
