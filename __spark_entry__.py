@@ -625,6 +625,32 @@ def q_rollup_hourly(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Range join (ops/rangejoin.py): each click joined to every signup
+    'session' interval [ts, ts + (user_id%7+1) minutes] containing it, via
+    10-minute bucketed equi-join (no cartesian). Time axis is epoch micros
+    (unix_micros / epoch_us) to dodge tz-NTZ pitfalls. Oracle is DuckDB's
+    native inequality (IE) join — an independent evaluation strategy."""
+    from benthos_spark.ops.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "t"
+    )
+    sessions = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("session_id"),
+        F.col("t").alias("t_start"),
+        (F.col("t") + (F.col("user_id") % 7 + 1) * 60_000_000).alias("t_end"),
+    )
+    out = range_join(
+        clicks, sessions, point_col="t", start_col="t_start",
+        end_col="t_end", bucket_width=600_000_000,
+    )
+    return out.select("click_id", "session_id", "t", "t_start")
+
+
 def q_jmespath_extract(spark, sf_dir):
     """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
     frame kernel, lib/processor/jmespath.go:142)."""
@@ -948,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_c4": q_boilerplate_c4,
         "asof_join": q_asof_join,
         "rollup_hourly": q_rollup_hourly,
+        "range_join": q_range_join,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1272,6 +1299,17 @@ def oracle_sql() -> dict[str, str]:
                max(floor(value * 100)::BIGINT)::BIGINT as max_cents
         from events
         group by 1, 2
+    """
+    sql["range_join"] = """
+        with c as (
+          select event_id as click_id, epoch_us(ts)::BIGINT as t
+          from events where event_type = 'click'),
+        s as (
+          select event_id as session_id, epoch_us(ts)::BIGINT as t_start,
+                 epoch_us(ts)::BIGINT + (user_id % 7 + 1) * 60000000 as t_end
+          from events where event_type = 'signup')
+        select c.click_id, s.session_id, c.t, s.t_start
+        from c join s on c.t >= s.t_start and c.t <= s.t_end
     """
     sql["asof_join"] = """
         select l.event_id, l.user_id, l.ts,
