@@ -651,6 +651,35 @@ def q_range_join(spark, sf_dir):
     return out.select("click_id", "session_id", "t", "t_start")
 
 
+def q_top_tokens(spark, sf_dir):
+    """Per-group heavy hitters (ops/topk.py): top 5 most frequent tokens
+    per language over documents — two-phase hash agg + WindowGroupLimit
+    ranked filter, deterministic tie-break by token."""
+    from benthos_spark.ops.topk import top_k_per_group
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    out = top_k_per_group(toks, ("lang",), "token", k=5)
+    return out.select(
+        "lang", "token", F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (ops/sampling.py): exactly 10 docs
+    per language drawn by salted-md5 order — the DuckDB oracle replays the
+    identical draw, so the sample itself is value-checked."""
+    from benthos_spark.ops.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_sample(docs, ("lang",), 10, "doc_id", salt="r3")
+    return out.select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+
+
 def q_jmespath_extract(spark, sf_dir):
     """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
     frame kernel, lib/processor/jmespath.go:142)."""
@@ -975,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "rollup_hourly": q_rollup_hourly,
         "range_join": q_range_join,
+        "top_tokens": q_top_tokens,
+        "stratified_sample": q_stratified_sample,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1300,6 +1331,33 @@ def oracle_sql() -> dict[str, str]:
         from events
         group by 1, 2
     """
+    from benthos_spark.ops.sampling import sql_stratified_rank as _strat_rank
+
+    sql["top_tokens"] = """
+        with t as (
+          select lang, unnest(string_split(lower(text), ' ')) as token
+          from documents),
+        c as (
+          select lang, token, count(*)::BIGINT as n
+          from t where token <> '' group by 1, 2),
+        r as (
+          select lang, token, n,
+                 row_number() over (partition by lang
+                                    order by n desc, token asc) as rank
+          from c)
+        select lang, token, n, rank::BIGINT as rank from r where rank <= 5
+    """
+    sql["stratified_sample"] = (
+        """
+        with r as (
+          select doc_id, lang,
+                 """
+        + _strat_rank("doc_id", "lang", salt="r3")
+        + """ as rk
+          from documents)
+        select doc_id, lang, rk::BIGINT as rk from r where rk <= 10
+    """
+    )
     sql["range_join"] = """
         with c as (
           select event_id as click_id, epoch_us(ts)::BIGINT as t
