@@ -70,6 +70,9 @@ HEADLINE = [
     "avro_roundtrip",
     "awk_text_stats",
     "grok_apache",
+    "asof_join",
+    "range_join",
+    "rollup_hourly",
     "streaming_dedupe_window",
 ]
 
