@@ -588,6 +588,169 @@ class NativePipeline:
 
         return t
 
+    # -- corpus ops as native spec stages (round 3) ---------------------
+    # The ops/ suite is also reachable from the YAML surface, so a spec
+    # user gets the training-data operators without dropping to Python.
+
+    def _c_pii_redact(self, body, cols):
+        """Rewrites ``column`` in place with typed placeholders
+        (<EMAIL>/<IP>/<PHONE>, ops/redact.py formulas); with ``counts``
+        (default true) first adds n_emails/n_ips/n_phones computed on the
+        original text. Pure projection, no shuffle."""
+        col = body.get("column", "text")
+        counts = bool(body.get("counts", True))
+
+        def t(df):
+            from ..ops.redact import EMAIL_RE, IPV4_RE, PHONE_RE
+
+            c = F.col(col)
+            out = df
+            if counts:
+                out = (
+                    out.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"))
+                    .withColumn("n_ips", F.regexp_count(c, F.lit(IPV4_RE)).cast("long"))
+                    .withColumn("n_phones", F.regexp_count(c, F.lit(PHONE_RE)).cast("long"))
+                )
+            red = F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+                ),
+                PHONE_RE,
+                "<PHONE>",
+            )
+            return out.withColumn(col, red)
+
+        if counts:
+            for n in ("n_emails", "n_ips", "n_phones"):
+                _add_col(cols, n, "bigint")
+        return t
+
+    def _c_url_canonicalize(self, body, cols):
+        """Adds url_norm/host/registered_domain/path_depth/n_params derived
+        from ``column`` (ops/urltools.py formulas). Pure projection."""
+        col = body.get("column", "url")
+
+        def t(df):
+            from ..ops.urltools import _canon_cols
+
+            out = df
+            for name, expr in _canon_cols(F.col(col)).items():
+                out = out.withColumn(name, expr)
+            return out
+
+        for name, dt in (
+            ("url_norm", "string"), ("host", "string"),
+            ("registered_domain", "string"), ("path_depth", "bigint"),
+            ("n_params", "bigint"),
+        ):
+            _add_col(cols, name, dt)
+        return t
+
+    def _c_boilerplate(self, body, cols):
+        """C4 line filter (ops/boilerplate.py): replaces ``column`` with the
+        cleaned text and adds n_lines/n_kept/kept_ratio/has_lorem (computed
+        on the original). Pure projection."""
+        col = body.get("column", "text")
+        mw = int(body.get("min_words", 5))
+
+        def t(df):
+            from ..ops.boilerplate import _keep_line
+
+            lines = F.split(F.col(col), "\n")
+            kept = F.filter(lines, _keep_line(mw))
+            return (
+                df.withColumn("n_lines", F.size(lines).cast("long"))
+                .withColumn("n_kept", F.size(kept).cast("long"))
+                .withColumn(
+                    "kept_ratio",
+                    F.col("n_kept").cast("double") / F.col("n_lines").cast("double"),
+                )
+                .withColumn("has_lorem", F.lower(F.col(col)).contains("lorem ipsum"))
+                .withColumn(col, F.array_join(kept, "\n"))
+            )
+
+        for n, dt in (
+            ("n_lines", "bigint"), ("n_kept", "bigint"),
+            ("kept_ratio", "double"), ("has_lorem", "boolean"),
+        ):
+            _add_col(cols, n, dt)
+        return t
+
+    def _c_stratified_sample(self, body, cols):
+        """Exactly-n-per-group deterministic sample (ops/sampling.py); adds
+        the in-group rank column ``rk``."""
+        groups = tuple(body.get("group_by", []))
+        n = int(body.get("n", 100))
+        idc = body.get("id_column", "doc_id")
+        salt = str(body.get("salt", ""))
+
+        def t(df):
+            from ..ops.sampling import stratified_sample
+
+            return stratified_sample(df, groups, n, idc, salt=salt)
+
+        _add_col(cols, "rk", "int")
+        return t
+
+    def _c_top_k(self, body, cols):
+        """Per-group heavy hitters (ops/topk.py) — terminal aggregation
+        stage; output schema is (group_by..., item_column, n, rank)."""
+        groups = tuple(body.get("group_by", []))
+        item = body["item_column"]
+        k = int(body.get("k", 5))
+
+        def t(df):
+            from ..ops.topk import top_k_per_group
+
+            return top_k_per_group(df, groups, item, k=k)
+
+        out_cols = [*groups, item, "n", "rank"]
+        cols.clear()
+        for c in out_cols:
+            _add_col(cols, c, None)
+        return t
+
+    def _c_rollup(self, body, cols):
+        """Hypertable rollup cascade (ops/rollup.py) — terminal aggregation
+        stage; output schema is (g_start, keys..., n, sum_v, min_v, max_v)."""
+        keys = tuple(body.get("keys", []))
+        tsc = body.get("ts_col", "ts")
+        vc = body.get("value_column", "value")
+        grains = tuple(body.get("grains", ("minute", "hour")))
+
+        def t(df):
+            from ..ops.rollup import rollup_cascade
+
+            return rollup_cascade(df, ts_col=tsc, keys=keys, value_col=vc, grains=grains)
+
+        cols.clear()
+        for c in ["g_start", *keys, "n", "sum_v", "min_v", "max_v"]:
+            _add_col(cols, c, None)
+        return t
+
+    def _c_asof_join(self, body, cols):
+        """As-of enrichment against a parquet table (ops/asof.py): adds
+        ``prefix``-named right columns carried from the latest
+        prior-or-equal right row per key."""
+        path = body["path"]
+        on = body.get("on", "ts")
+        by = body.get("by", "user_id")
+        rcols = tuple(body.get("right_cols", ["value"]))
+        prefix = body.get("prefix", "r_")
+
+        def t(df):
+            from ..ops.asof import asof_join
+
+            right = df.sparkSession.read.parquet(path)
+            sel = body.get("right_select")
+            if sel:
+                right = right.selectExpr(*sel)
+            return asof_join(df, right, on=on, by=by, right_cols=rcols, prefix=prefix)
+
+        for c in [*rcols, on]:
+            _add_col(cols, prefix + c, None)
+        return t
+
     def _c_noop(self, body, cols):
         return lambda df: df
 

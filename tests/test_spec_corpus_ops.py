@@ -1,0 +1,135 @@
+"""Corpus ops on the YAML spec surface: the ops/ suite is reachable as
+native pipeline stages (pii_redact, url_canonicalize, boilerplate,
+stratified_sample, top_k, rollup, asof_join) without dropping to Python."""
+
+import datetime as dt
+
+import pytest
+
+from benthos_spark.engine.spec import lint_spec, run_spec
+
+
+@pytest.mark.spark
+class TestSpecCorpusOps:
+    def test_redact_then_boilerplate_chain(self, spark):
+        out = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [
+                    [1, "Contact bob@x.com for the full story today.\nBuy now!"],
+                    [2, "Server 10.0.0.1 answered every request we sent it.\nHome | About"],
+                ],
+                "schema": "doc_id long, text string",
+            }},
+            "pipeline": {"processors": [
+                {"pii_redact": {"column": "text"}},
+                {"boilerplate": {"column": "text"}},
+            ]},
+            "output": {"memory": {}},
+        })
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["n_emails"] == 1 and rows[1]["n_ips"] == 0
+        assert rows[1]["text"] == "Contact <EMAIL> for the full story today."
+        assert rows[2]["n_ips"] == 1
+        assert rows[2]["text"] == "Server <IP> answered every request we sent it."
+        assert rows[2]["n_lines"] == 2 and rows[2]["n_kept"] == 1
+
+    def test_url_canonicalize_stage(self, spark):
+        out = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [[1, "HTTP://WWW.Example.COM:80/a?b=1&utm_source=x#f"]],
+                "schema": "doc_id long, url string",
+            }},
+            "pipeline": {"processors": [{"url_canonicalize": {"column": "url"}}]},
+            "output": {"memory": {}},
+        })
+        r = out.collect()[0]
+        assert r["url_norm"] == "http://www.example.com/a?b=1"
+        assert r["registered_domain"] == "example.com"
+
+    def test_stratified_sample_stage(self, spark):
+        out = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [[i, "en" if i % 2 else "de"] for i in range(40)],
+                "schema": "doc_id long, lang string",
+            }},
+            "pipeline": {"processors": [
+                {"stratified_sample": {"group_by": ["lang"], "n": 3,
+                                       "id_column": "doc_id", "salt": "t"}},
+            ]},
+            "output": {"memory": {}},
+        })
+        rows = out.collect()
+        assert len(rows) == 6
+        assert {r["lang"] for r in rows} == {"en", "de"}
+
+    def test_top_k_terminal_stage_and_downstream_cols(self, spark):
+        out = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [["en", "a"], ["en", "a"], ["en", "b"], ["de", "x"]],
+                "schema": "lang string, token string",
+            }},
+            "pipeline": {"processors": [
+                {"top_k": {"group_by": ["lang"], "item_column": "token", "k": 1}},
+                # downstream stage sees the aggregated schema (col tracking)
+                {"filter_parts": {"bloblang": "n >= 1"}},
+            ]},
+            "output": {"memory": {}},
+        })
+        got = {(r["lang"], r["token"], r["n"]) for r in out.collect()}
+        assert got == {("en", "a", 2), ("de", "x", 1)}
+
+    def test_rollup_terminal_stage(self, spark):
+        out = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [
+                    [dt.datetime(2024, 1, 1, 10, 0, 10), "a", 5],
+                    [dt.datetime(2024, 1, 1, 10, 30, 0), "a", 7],
+                    [dt.datetime(2024, 1, 1, 11, 0, 0), "a", 1],
+                ],
+                "schema": "ts timestamp, event_type string, v long",
+            }},
+            "pipeline": {"processors": [
+                {"rollup": {"ts_col": "ts", "keys": ["event_type"],
+                            "value_column": "v", "grains": ["minute", "hour"]}},
+            ]},
+            "output": {"memory": {}},
+        })
+        got = {(r["g_start"].hour, r["n"], r["sum_v"]) for r in out.collect()}
+        assert got == {(10, 2, 12), (11, 1, 1)}
+
+    def test_asof_join_stage(self, spark, tmp_path):
+        right = str(tmp_path / "rates")
+        spark.createDataFrame(
+            [(1, 100, 2.5), (1, 300, 3.5)], "user_id long, ts long, value double"
+        ).write.parquet(right)
+        out = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [[7, 1, 200], [8, 1, 400]],
+                "schema": "event_id long, user_id long, ts long",
+            }},
+            "pipeline": {"processors": [
+                {"asof_join": {"path": right, "on": "ts", "by": "user_id",
+                               "right_cols": ["value"]}},
+            ]},
+            "output": {"memory": {}},
+        })
+        rows = {r["event_id"]: r for r in out.collect()}
+        assert rows[7]["r_value"] == 2.5 and rows[8]["r_value"] == 3.5
+
+    def test_lint_accepts_native_only_stages(self):
+        assert lint_spec({
+            "input": {"inline": {"rows": [[1]], "schema": "x long"}},
+            "pipeline": {"processors": [
+                {"pii_redact": {}},
+                {"top_k": {"group_by": ["x"], "item_column": "x"}},
+            ]},
+            "output": {"memory": {}},
+        }) == []
+
+    def test_lint_still_rejects_unknown(self):
+        errs = lint_spec({
+            "input": {"inline": {"rows": [[1]], "schema": "x long"}},
+            "pipeline": {"processors": [{"definitely_not_a_processor": {}}]},
+            "output": {"memory": {}},
+        })
+        assert len(errs) == 1 and "unknown processor type" in errs[0]
