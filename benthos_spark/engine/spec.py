@@ -124,7 +124,22 @@ class Stream:
         if kind == "parquet":
             if self.df.isStreaming:
                 raise ValueError("parquet output is batch-only; use sink")
-            self.df.write.mode(body.get("mode", "overwrite")).parquet(body["path"])
+            out = self.df
+            # physical layout controls — the scan-side levers at scale:
+            # partition_by gives partition pruning to every downstream
+            # reader; repartition_by co-locates rows so each hive partition
+            # is written by few tasks (no small-files explosion); num_files
+            # caps output file count for small dimension-like results.
+            if body.get("repartition_by"):
+                from pyspark.sql import functions as F
+
+                out = out.repartition(*[F.col(c) for c in body["repartition_by"]])
+            elif body.get("num_files"):
+                out = out.repartition(int(body["num_files"]))
+            writer = out.write.mode(body.get("mode", "overwrite"))
+            if body.get("partition_by"):
+                writer = writer.partitionBy(*body["partition_by"])
+            writer.parquet(body["path"])
             return None
         if kind == "kafka":
             # output kafka (lib/output/writer/kafka.go): content -> value,

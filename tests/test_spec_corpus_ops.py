@@ -116,6 +116,28 @@ class TestSpecCorpusOps:
         rows = {r["event_id"]: r for r in out.collect()}
         assert rows[7]["r_value"] == 2.5 and rows[8]["r_value"] == 3.5
 
+    def test_parquet_output_partition_by(self, spark, tmp_path):
+        import os
+
+        out_dir = str(tmp_path / "bylang")
+        run_spec(spark, {
+            "input": {"inline": {
+                "rows": [[i, "en" if i % 2 else "de"] for i in range(10)],
+                "schema": "doc_id long, lang string",
+            }},
+            "output": {"parquet": {"path": out_dir, "partition_by": ["lang"],
+                                   "repartition_by": ["lang"]}},
+        })
+        subdirs = {d for d in os.listdir(out_dir) if d.startswith("lang=")}
+        assert subdirs == {"lang=en", "lang=de"}
+        back = spark.read.parquet(out_dir)
+        assert back.count() == 10
+        # partition pruning reaches the scan
+        q = back.filter("lang = 'en'")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+        assert q.count() == 5
+
     def test_lint_accepts_native_only_stages(self):
         assert lint_spec({
             "input": {"inline": {"rows": [[1]], "schema": "x long"}},
