@@ -138,6 +138,32 @@ class TestSpecCorpusOps:
         assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
         assert q.count() == 5
 
+    def test_corpus_ops_are_stream_safe(self, spark, tmp_path):
+        """pii_redact/boilerplate are pure projections, so the same spec
+        stages run unchanged inside Structured Streaming through the
+        exactly-once sink (the north-rule surface)."""
+        from benthos_spark.streaming.sink import IdempotentSink
+        from benthos_spark.streaming.source import write_pages_input
+
+        in_dir = str(tmp_path / "in")
+        write_pages_input(spark, in_dir, 500, n_chunks=2, n_hosts=5)
+        run_spec(spark, {
+            "input": {"stream": {"path": in_dir}},
+            "pipeline": {"processors": [
+                {"bloblang": 'text = text + " mail me at a@b.co today ok."'},
+                {"pii_redact": {"column": "text"}},
+                {"boilerplate": {"column": "text", "min_words": 2}},
+            ]},
+            "output": {"sink": {
+                "path": str(tmp_path / "out"),
+                "checkpoint": str(tmp_path / "ckpt"),
+            }},
+        })
+        got = IdempotentSink(str(tmp_path / "out")).read(spark)
+        assert got.count() == 500
+        r = got.select("text", "n_emails").limit(1).collect()[0]
+        assert r["n_emails"] == 1 and "<EMAIL>" in r["text"]
+
     def test_lint_accepts_native_only_stages(self):
         assert lint_spec({
             "input": {"inline": {"rows": [[1]], "schema": "x long"}},
