@@ -34,8 +34,19 @@ def _pages_rows_for_sf(sf_dir: str) -> int:
 
 
 def force(df) -> int:
-    """Force full execution; returns row count of the result."""
-    return df.count()
+    """Force FULL execution including every output column; returns the row
+    count. A bare count() lets Catalyst prune unused columns — and even
+    eliminate whole Window operators, since they never change the row
+    count — which overstates ops whose outputs don't affect cardinality
+    (round-3 methodology fix; per-query numbers before/after are not
+    directly comparable and BENCH.md says so)."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in df.columns]
+    row = df.select(
+        F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64(*cols)).alias("h")
+    ).collect()[0]
+    return row["n"]
 
 
 def flagship_pages_pipeline(spark, n_rows: int):

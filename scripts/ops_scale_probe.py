@@ -1,0 +1,193 @@
+#!/usr/bin/env python3
+"""Scale probe for the round-3 operator family: run each op at two input
+sizes (default 2M and 10M synthetic rows, generated in-plan — no files) and
+report rows/sec at both plus the throughput ratio. A ratio near 1.0 means
+cost grew linearly with input — the op's plan holds its shape as N grows,
+which is the property that matters for the 100 TB projection. Results are
+appended to BENCH.md.
+
+Inputs are deterministic functions of ``spark.range`` ids, so both levels
+measure identical logical work per row and reruns are reproducible.
+
+Usage: python scripts/ops_scale_probe.py [--rows-small N] [--rows-big N]
+       [--cpus N]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_events(spark, n):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 100_000).alias("user_id"),
+            # ~37 events/user-hour spread over ~n/1000 seconds of event time
+            F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 7919) % (n // 100 + 3600)).alias("ts"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in ("click", "view", "purchase", "signup", "error")]),
+                (F.col("id") % 5 + 1).cast("int"),
+            ).alias("event_type"),
+            ((F.col("id") * 2654435761) % 100_000 / 100.0).alias("value"),
+        )
+    )
+
+
+def probes(spark, n):
+    """name -> (build() -> DataFrame) thunks; forcing is count() downstream."""
+    from pyspark.sql import functions as F
+
+    from benthos_spark.ops.asof import asof_join
+    from benthos_spark.ops.boilerplate import boilerplate_stats
+    from benthos_spark.ops.rangejoin import range_join
+    from benthos_spark.ops.redact import pii_redact
+    from benthos_spark.ops.rollup import rollup_cascade
+    from benthos_spark.ops.sampling import stratified_sample
+    from benthos_spark.ops.topk import top_k_per_group
+    from benthos_spark.ops.urltools import url_canonicalize
+
+    ev = build_events(spark, n)
+    t_ev = ev.withColumn("t", F.unix_micros("ts"))
+
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(
+            F.lit("A real sentence with enough words ends here.\nBuy now!\nuser"),
+            F.col("id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("id") % 250).cast("string"),
+            F.lit(" visits http://WWW.Site"),
+            (F.col("id") % 1000).cast("string"),
+            F.lit(".com:80/p?b=1&utm_source=x every day."),
+        ).alias("text"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Site"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".co.uk:80/p"), (F.col("doc_id") % 97).cast("string"),
+            F.lit("?b=2&utm_source=x&a=1#f"),
+        ).alias("url"),
+    )
+
+    def asof():
+        clicks = t_ev.where(F.col("event_type") == "click").select("event_id", "user_id", "t")
+        purchases = t_ev.where(F.col("event_type") == "purchase").select("user_id", "t", "value")
+        return asof_join(clicks, purchases, on="t", by="user_id", right_cols=("value",))
+
+    def rjoin():
+        points = t_ev.where(F.col("event_type") == "click").select("event_id", "t")
+        iv = (
+            t_ev.where(F.col("event_id") % 100 == 0)
+            .select(
+                F.col("event_id").alias("iv_id"),
+                F.col("t").alias("t_start"),
+                (F.col("t") + 5_000_000).alias("t_end"),
+            )
+        )
+        return range_join(points, iv, point_col="t", start_col="t_start",
+                          end_col="t_end", bucket_width=10_000_000)
+
+    return {
+        "asof_join": asof,
+        "range_join": rjoin,
+        "rollup_cascade": lambda: rollup_cascade(
+            ev.withColumn("cents", F.floor(F.col("value") * 100).cast("long")),
+            ts_col="ts", keys=("event_type",), value_col="cents",
+        ),
+        "top_k_per_group": lambda: top_k_per_group(
+            docs.select("lang", (F.col("doc_id") % 1000).cast("string").alias("token")),
+            ("lang",), "token", k=10,
+        ),
+        "stratified_sample": lambda: stratified_sample(
+            docs.select("doc_id", "lang"), ("lang",), 1000, "doc_id", salt="probe"
+        ),
+        "pii_redact": lambda: pii_redact(docs),
+        "boilerplate": lambda: boilerplate_stats(docs),
+        "url_canonicalize": lambda: url_canonicalize(urls),
+    }
+
+
+def _force(df):
+    """Hash-aggregate every output column: a bare count() lets Catalyst
+    prune projections and even whole Window operators (they never change
+    the row count), which would make this probe measure nothing."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in df.columns]
+    df.select(F.bit_xor(F.xxhash64(*cols))).collect()
+
+
+def run_level(spark, n, repeat=2):
+    out = {}
+    for name, build in probes(spark, n).items():
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            _force(build())
+            best = min(best, time.perf_counter() - t0)
+        out[name] = {"sec": round(best, 3), "rows_per_sec": round(n / best)}
+        print(f"  {name}: {best:.2f}s ({n / best:,.0f} rows/s)")
+    return out
+
+
+def main():
+    small = 2_000_000
+    big = 10_000_000
+    if "--rows-small" in sys.argv:
+        small = int(sys.argv[sys.argv.index("--rows-small") + 1])
+    if "--rows-big" in sys.argv:
+        big = int(sys.argv[sys.argv.index("--rows-big") + 1])
+    cpus = sys.argv[sys.argv.index("--cpus") + 1] if "--cpus" in sys.argv else "32"
+
+    from benthos_spark.session import get_spark
+
+    spark = get_spark("ops_scale_probe", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    print(f"level {small:,}:")
+    a = run_level(spark, small)
+    print(f"level {big:,}:")
+    b = run_level(spark, big)
+    spark.stop()
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
+    lines = [
+        "",
+        f"## Operator scale probe {stamp} (local[{cpus}], in-plan synthetic input)",
+        "",
+        f"Each op at {small:,} and {big:,} rows, min-of-2; `ratio` = big-level",
+        "rows/sec over small-level rows/sec — near 1.0 means cost grew linearly",
+        "with input (the plan holds its shape as N grows).",
+        "",
+        "| op | sec @small | rows/s @small | sec @big | rows/s @big | ratio |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in a:
+        ra, rb = a[name]["rows_per_sec"], b[name]["rows_per_sec"]
+        lines.append(
+            f"| {name} | {a[name]['sec']} | {ra:,} | {b[name]['sec']} | {rb:,} | "
+            f"{rb / ra:.2f} |"
+        )
+    lines.append("")
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"small": a, "big": b}))
+
+
+if __name__ == "__main__":
+    main()
