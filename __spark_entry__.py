@@ -680,6 +680,23 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact k-token substring-span dedup (ops/spans.py, Lee et al. 2022
+    recipe): per-doc count of 8-token windows repeated verbatim in other
+    documents + duplicated fraction. Only (doc_id, md5) pairs shuffle;
+    identical span formula in the DuckDB oracle."""
+    from benthos_spark.ops.spans import duplicate_span_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = duplicate_span_stats(docs, k=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        "dup_fraction",
+    )
+
+
 def q_jmespath_extract(spark, sf_dir):
     """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
     frame kernel, lib/processor/jmespath.go:142)."""
@@ -1006,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "top_tokens": q_top_tokens,
         "stratified_sample": q_stratified_sample,
+        "duplicate_spans": q_duplicate_spans,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1356,6 +1374,15 @@ def oracle_sql() -> dict[str, str]:
         + """ as rk
           from documents)
         select doc_id, lang, rk::BIGINT as rk from r where rk <= 10
+    """
+    )
+    from benthos_spark.ops.spans import sql_span_ctes as _span_ctes
+
+    sql["duplicate_spans"] = (
+        "with "
+        + _span_ctes("text", "documents", "doc_id", k=8).lstrip()
+        + """
+        select id as doc_id, n_spans, n_dup_spans, dup_fraction from c
     """
     )
     sql["range_join"] = """
