@@ -601,24 +601,14 @@ class NativePipeline:
         counts = bool(body.get("counts", True))
 
         def t(df):
-            from ..ops.redact import EMAIL_RE, IPV4_RE, PHONE_RE
+            from ..ops.redact import count_cols, redact_col
 
             c = F.col(col)
             out = df
             if counts:
-                out = (
-                    out.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"))
-                    .withColumn("n_ips", F.regexp_count(c, F.lit(IPV4_RE)).cast("long"))
-                    .withColumn("n_phones", F.regexp_count(c, F.lit(PHONE_RE)).cast("long"))
-                )
-            red = F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-                ),
-                PHONE_RE,
-                "<PHONE>",
-            )
-            return out.withColumn(col, red)
+                for name, expr in count_cols(c).items():
+                    out = out.withColumn(name, expr)
+            return out.withColumn(col, redact_col(c))
 
         if counts:
             for n in ("n_emails", "n_ips", "n_phones"):
