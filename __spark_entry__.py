@@ -697,6 +697,20 @@ def q_duplicate_spans(spark, sf_dir):
     )
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Exact grouped quantiles (ops/quantiles.py): p50/p95/p99 of value per
+    event_type. Spark's percentile and DuckDB's quantile_cont implement the
+    identical q*(n-1) linear interpolation, so values hash-match exactly;
+    the sketch-based percentile_approx variant is the 100 TB path (accuracy
+    asserted against this exact op in tests)."""
+    from benthos_spark.ops.quantiles import group_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return group_quantiles(ev, ("event_type",), "value").select(
+        "event_type", "n", "p50", "p95", "p99"
+    )
+
+
 def q_jmespath_extract(spark, sf_dir):
     """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
     frame kernel, lib/processor/jmespath.go:142)."""
@@ -1024,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "stratified_sample": q_stratified_sample,
         "duplicate_spans": q_duplicate_spans,
+        "group_quantiles": q_group_quantiles,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1374,6 +1389,18 @@ def oracle_sql() -> dict[str, str]:
         + """ as rk
           from documents)
         select doc_id, lang, rk::BIGINT as rk from r where rk <= 10
+    """
+    )
+    from benthos_spark.ops.quantiles import sql_group_quantiles as _gq
+
+    sql["group_quantiles"] = (
+        """
+        select event_type,
+               """
+        + _gq("value", "event_type")
+        + """
+        from events
+        group by event_type
     """
     )
     from benthos_spark.ops.spans import sql_span_ctes as _span_ctes
