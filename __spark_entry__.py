@@ -711,6 +711,22 @@ def q_group_quantiles(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """CEP funnel (ops/funnel.py): signup -> click -> purchase per user,
+    earliest-first greedy matching, one shrinking keyed join per step.
+    The DuckDB oracle builds the same funnel with independent CTE SQL."""
+    from benthos_spark.ops.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = funnel(
+        ev, steps=("signup", "click", "purchase"), key="user_id",
+        within_s=200_000,
+    )
+    return out.select(
+        "user_id", "t1", "t2", "t3", "reached", "completed", "duration_s"
+    )
+
+
 def q_jmespath_extract(spark, sf_dir):
     """jmespath over a JSON column (ops/jsonops.py vectorized sibling of the
     frame kernel, lib/processor/jmespath.go:142)."""
@@ -1039,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "duplicate_spans": q_duplicate_spans,
         "group_quantiles": q_group_quantiles,
+        "funnel": q_funnel,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1403,6 +1420,33 @@ def oracle_sql() -> dict[str, str]:
         group by event_type
     """
     )
+    sql["funnel"] = """
+        with s1 as (
+          select user_id, min(ts) as t1 from events
+          where event_type = 'signup' group by user_id),
+        s2 as (
+          select e.user_id, min(e.ts) as t2 from events e
+          join s1 on e.user_id = s1.user_id
+          where e.event_type = 'click' and e.ts > s1.t1
+          group by e.user_id),
+        s3 as (
+          select e.user_id, min(e.ts) as t3 from events e
+          join s2 on e.user_id = s2.user_id
+          where e.event_type = 'purchase' and e.ts > s2.t2
+          group by e.user_id)
+        select s1.user_id, s1.t1, s2.t2, s3.t3,
+               ((s1.t1 is not null)::INT + (s2.t2 is not null)::INT
+                + (s3.t3 is not null)::INT)::BIGINT as reached,
+               (s3.t3 is not null and
+                (epoch_us(s3.t3) - epoch_us(s1.t1)) // 1000000 <= 200000)
+                 as completed,
+               case when s3.t3 is not null then
+                 ((epoch_us(s3.t3) - epoch_us(s1.t1)) // 1000000)::BIGINT
+               end as duration_s
+        from s1
+        left join s2 on s1.user_id = s2.user_id
+        left join s3 on s1.user_id = s3.user_id
+    """
     from benthos_spark.ops.spans import sql_span_ctes as _span_ctes
 
     sql["duplicate_spans"] = (
