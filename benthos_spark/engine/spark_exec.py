@@ -718,6 +718,67 @@ class NativePipeline:
             _add_col(cols, c, None)
         return t
 
+    def _c_duplicate_spans(self, body, cols):
+        """Substring-span dedup (ops/spans.py) — terminal aggregation;
+        output schema (id, n_spans, n_dup_spans, dup_fraction)."""
+        col = body.get("column", "text")
+        idc = body.get("id_column", "doc_id")
+        k = int(body.get("k", 8))
+
+        def t(df):
+            from ..ops.spans import duplicate_span_stats
+
+            return duplicate_span_stats(df, text_col=col, id_col=idc, k=k)
+
+        cols.clear()
+        for c, dt in (("id", None), ("n_spans", "bigint"),
+                      ("n_dup_spans", "bigint"), ("dup_fraction", "double")):
+            _add_col(cols, c, dt)
+        return t
+
+    def _c_quantiles(self, body, cols):
+        """Grouped quantiles (ops/quantiles.py) — terminal aggregation;
+        ``mode: exact|approx`` picks the holistic or mergeable-sketch
+        path. Output schema (keys..., n, p<q>...)."""
+        keys = tuple(body.get("group_by", []))
+        vc = body.get("value_column", "value")
+        qs = tuple(float(q) for q in body.get("qs", (0.5, 0.95, 0.99)))
+        mode = body.get("mode", "exact")
+
+        def t(df):
+            from ..ops.quantiles import group_quantiles, group_quantiles_approx
+
+            fn = group_quantiles if mode == "exact" else group_quantiles_approx
+            return fn(df, keys, vc, qs=qs)
+
+        from ..ops.quantiles import _alias
+
+        cols.clear()
+        for c in [*keys, "n", *[_alias(q) for q in qs]]:
+            _add_col(cols, c, None)
+        return t
+
+    def _c_funnel(self, body, cols):
+        """CEP funnel (ops/funnel.py) — terminal stage; output schema
+        (key, t1..tk, reached, completed, duration_s)."""
+        steps = tuple(body["steps"])
+        key = body.get("key", "user_id")
+        tsc = body.get("ts_col", "ts")
+        tyc = body.get("type_col", "event_type")
+        within = body.get("within_s")
+
+        def t(df):
+            from ..ops.funnel import funnel
+
+            return funnel(df, steps, key=key, ts_col=tsc, type_col=tyc,
+                          within_s=within)
+
+        cols.clear()
+        for c in [key, *[f"t{i}" for i in range(1, len(steps) + 1)],
+                  "reached", "completed", "duration_s"]:
+            _add_col(cols, c, None)
+        return t
+
     def _c_asof_join(self, body, cols):
         """As-of enrichment against a parquet table (ops/asof.py): adds
         ``prefix``-named right columns carried from the latest

@@ -164,6 +164,52 @@ class TestSpecCorpusOps:
         r = got.select("text", "n_emails").limit(1).collect()[0]
         assert r["n_emails"] == 1 and "<EMAIL>" in r["text"]
 
+    def test_quantiles_and_funnel_stages(self, spark):
+        out = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [["a", float(v)] for v in range(1, 101)],
+                "schema": "k string, v double",
+            }},
+            "pipeline": {"processors": [
+                {"quantiles": {"group_by": ["k"], "value_column": "v",
+                               "qs": [0.5]}},
+            ]},
+            "output": {"memory": {}},
+        })
+        r = out.collect()[0]
+        assert r["n"] == 100 and r["p50"] == 50.5
+
+        fun = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [
+                    [1, dt.datetime(2024, 1, 1, 10, 0), "A"],
+                    [1, dt.datetime(2024, 1, 1, 10, 5), "B"],
+                ],
+                "schema": "user_id long, ts timestamp, event_type string",
+            }},
+            "pipeline": {"processors": [
+                {"funnel": {"steps": ["A", "B"], "key": "user_id"}},
+            ]},
+            "output": {"memory": {}},
+        })
+        fr = fun.collect()[0]
+        assert fr["completed"] and fr["duration_s"] == 300
+
+    def test_duplicate_spans_stage(self, spark):
+        shared = "one two three four five six seven eight"
+        out = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [[1, shared + " x"], [2, "y " + shared]],
+                "schema": "doc_id long, text string",
+            }},
+            "pipeline": {"processors": [
+                {"duplicate_spans": {"column": "text", "k": 8}},
+            ]},
+            "output": {"memory": {}},
+        })
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["n_dup_spans"] == 1 and rows[2]["n_dup_spans"] == 1
+
     def test_lint_accepts_native_only_stages(self):
         assert lint_spec({
             "input": {"inline": {"rows": [[1]], "schema": "x long"}},
