@@ -759,23 +759,40 @@ class NativePipeline:
         return t
 
     def _c_funnel(self, body, cols):
-        """CEP funnel (ops/funnel.py) — terminal stage; output schema
-        (key, t1..tk, reached, completed, duration_s)."""
+        """CEP funnel — terminal stage. Batch (default): ops/funnel.py,
+        output (key, t1..tk, reached, completed, duration_s). With
+        ``streaming: true``: streaming/cep.py stateful pattern matcher,
+        output is the append-mode completion stream (key, t1..tk,
+        duration_s) — one row per non-overlapping completed sequence."""
         steps = tuple(body["steps"])
         key = body.get("key", "user_id")
         tsc = body.get("ts_col", "ts")
         tyc = body.get("type_col", "event_type")
         within = body.get("within_s")
+        is_stream = bool(body.get("streaming", False))
+        wm = None if self._watermarked else body.get("watermark", "30 minutes")
+        if is_stream:
+            self._watermarked = True
 
         def t(df):
+            if is_stream:
+                from ..streaming.cep import streaming_funnel
+
+                return streaming_funnel(
+                    df, steps, key=key, ts_col=tsc, type_col=tyc,
+                    watermark=wm or "30 minutes",
+                )
             from ..ops.funnel import funnel
 
             return funnel(df, steps, key=key, ts_col=tsc, type_col=tyc,
                           within_s=within)
 
         cols.clear()
-        for c in [key, *[f"t{i}" for i in range(1, len(steps) + 1)],
-                  "reached", "completed", "duration_s"]:
+        out_cols = [key, *[f"t{i}" for i in range(1, len(steps) + 1)]]
+        if not is_stream:
+            out_cols += ["reached", "completed"]
+        out_cols.append("duration_s")
+        for c in out_cols:
             _add_col(cols, c, None)
         return t
 

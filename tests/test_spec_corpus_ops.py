@@ -210,6 +210,36 @@ class TestSpecCorpusOps:
         rows = {r["id"]: r for r in out.collect()}
         assert rows[1]["n_dup_spans"] == 1 and rows[2]["n_dup_spans"] == 1
 
+    def test_streaming_funnel_spec(self, spark, tmp_path):
+        from benthos_spark.streaming.sink import IdempotentSink
+
+        in_dir = str(tmp_path / "in")
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 10, 0), "A"),
+            (1, dt.datetime(2024, 1, 1, 10, 5), "B"),
+            (2, dt.datetime(2024, 1, 1, 10, 1), "A"),
+        ]
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.parquet(in_dir)
+        run_spec(spark, {
+            "input": {"stream": {
+                "path": in_dir,
+                "schema": "user_id long, ts timestamp, event_type string",
+            }},
+            "pipeline": {"processors": [
+                {"funnel": {"steps": ["A", "B"], "key": "user_id",
+                            "streaming": True, "watermark": "1 minute"}},
+            ]},
+            "output": {"sink": {
+                "path": str(tmp_path / "out"),
+                "checkpoint": str(tmp_path / "ckpt"),
+            }},
+        })
+        got = IdempotentSink(str(tmp_path / "out")).read(spark).collect()
+        assert len(got) == 1 and got[0]["user_id"] == 1
+        assert got[0]["duration_s"] == 300
+
     def test_lint_accepts_native_only_stages(self):
         assert lint_spec({
             "input": {"inline": {"rows": [[1]], "schema": "x long"}},
