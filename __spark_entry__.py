@@ -687,7 +687,10 @@ def q_duplicate_spans(spark, sf_dir):
     identical span formula in the DuckDB oracle."""
     from benthos_spark.ops.spans import duplicate_span_stats
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the sf* documents table is a single small parquet file (1 input
+    # partition); spread the per-span hashing lambdas across cores — at
+    # real scale the scan itself provides this parallelism
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
     out = duplicate_span_stats(docs, k=8)
     return out.select(
         F.col("id").alias("doc_id"),

@@ -84,6 +84,9 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "rollup_hourly",
+    "group_quantiles",
+    "funnel",
+    "duplicate_spans",
     "streaming_dedupe_window",
 ]
 
