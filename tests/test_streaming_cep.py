@@ -84,3 +84,37 @@ class TestStreamingFunnel:
 
     def test_completion_count(self, completions):
         assert len(completions) == 60 * 2 + 60  # 60 double + 60 single
+
+    def test_state_survives_restart(self, spark, tmp_path):
+        """A funnel opened in run 1 (A arrived) must complete in run 2 when
+        B arrives after a restart — the checkpoint holds the per-key state
+        machine, not the JVM."""
+        in_dir = str(tmp_path / "in")
+        sink = IdempotentSink(str(tmp_path / "sink"))
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            stream = spark.readStream.schema(
+                "user_id long, ts timestamp, event_type string"
+            ).option("maxFilesPerTrigger", 1).parquet(in_dir)
+            run_to_sink(
+                streaming_funnel(stream, steps=("A", "B"), watermark="5 minutes"),
+                sink, ckpt,
+            )
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0)
+        spark.createDataFrame(
+            [(1, t0, "A"), (2, t0, "B")],
+            "user_id long, ts timestamp, event_type string",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        drain()
+        assert sink.read(spark).count() == 0  # nothing completed yet
+
+        spark.createDataFrame(
+            [(1, t0 + dt.timedelta(minutes=3), "B")],
+            "user_id long, ts timestamp, event_type string",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        drain()
+        rows = sink.read(spark).collect()
+        assert len(rows) == 1 and rows[0]["user_id"] == 1
+        assert rows[0]["duration_s"] == 180
