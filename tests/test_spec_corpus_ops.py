@@ -5,6 +5,7 @@ stratified_sample, top_k, rollup, asof_join) without dropping to Python."""
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from benthos_spark.engine.spec import lint_spec, run_spec
 
@@ -239,6 +240,25 @@ class TestSpecCorpusOps:
         got = IdempotentSink(str(tmp_path / "out")).read(spark).collect()
         assert len(got) == 1 and got[0]["user_id"] == 1
         assert got[0]["duration_s"] == 300
+
+    def test_example_specs_lint_clean(self):
+        for name in ("corpus_curation", "cep_funnel"):
+            with open(f"/root/repo/examples/{name}.yaml") as f:
+                assert lint_spec(f.read()) == [], name
+
+    def test_example_corpus_curation_runs(self, spark, tmp_path):
+        import yaml
+
+        with open("/root/repo/examples/corpus_curation.yaml") as f:
+            spec = yaml.safe_load(f)
+        out_dir = str(tmp_path / "curated")
+        spec["output"]["parquet"]["path"] = out_dir
+        run_spec(spark, spec)
+        back = spark.read.parquet(out_dir)
+        sizes = {r["lang"]: r["n"] for r in
+                 back.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert all(v == 50 for v in sizes.values()) and len(sizes) == 5
+        assert "n_emails" in back.columns and "kept_ratio" in back.columns
 
     def test_lint_accepts_native_only_stages(self):
         assert lint_spec({
