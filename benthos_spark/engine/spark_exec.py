@@ -807,12 +807,20 @@ class NativePipeline:
         prefix = body.get("prefix", "r_")
 
         def t(df):
-            from ..ops.asof import asof_join
-
             right = df.sparkSession.read.parquet(path)
             sel = body.get("right_select")
             if sel:
                 right = right.selectExpr(*sel)
+            if df.isStreaming:
+                # window-over-union is not allowed on streams; the
+                # dimension broadcasts + pandas merge_asof per Arrow batch
+                from ..streaming.asof import asof_enrich_static
+
+                return asof_enrich_static(
+                    df, right, on=on, by=by, right_cols=rcols, prefix=prefix
+                )
+            from ..ops.asof import asof_join
+
             return asof_join(df, right, on=on, by=by, right_cols=rcols, prefix=prefix)
 
         for c in [*rcols, on]:
