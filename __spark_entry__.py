@@ -800,6 +800,41 @@ def _events_stream(spark, sf_dir, extra_rows=None):
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def q_streaming_funnel(spark, sf_dir):
+    """Streaming CEP end-to-end: events file stream -> stateful funnel
+    (streaming/cep.py, applyInPandasWithState) -> exactly-once sink ->
+    read-back, first completion per user. Oracle is the batch-funnel CTE
+    SQL (completed users only) — the streaming state machine's first
+    match must equal the batch greedy recurrence on ordered input.
+    duration is recomputed from the emitted timestamps via micros
+    floor-div so float epoch rounding can't flip a boundary second."""
+    import tempfile
+
+    from benthos_spark.streaming.cep import streaming_funnel
+    from benthos_spark.streaming.sink import IdempotentSink, run_to_sink
+    from pyspark.sql import Window
+
+    stream = _events_stream(spark, sf_dir)
+    sf = streaming_funnel(
+        stream, steps=("signup", "click", "purchase"), key="user_id",
+        watermark="1 hour",
+    )
+    sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_cepsink_"))
+    run_to_sink(sf, sink, tempfile.mkdtemp(prefix="bs_cepckpt_"))
+    out = sink.read(spark)
+    w = Window.partitionBy("user_id").orderBy("t1")
+    first = out.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return first.select(
+        "user_id",
+        F.unix_micros("t1").alias("u1"),
+        F.unix_micros("t2").alias("u2"),
+        F.unix_micros("t3").alias("u3"),
+        F.floor(
+            (F.unix_micros("t3") - F.unix_micros("t1")) / F.lit(1_000_000)
+        ).cast("long").alias("duration_s"),
+    )
+
+
 def q_streaming_dedupe_window(spark, sf_dir):
     """The north-rule flagship shape, streaming end-to-end: file stream ->
     watermark dedupe (dropDuplicatesWithinWatermark, key includes the hour so
@@ -1059,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "group_quantiles": q_group_quantiles,
         "funnel": q_funnel,
+        "streaming_funnel": q_streaming_funnel,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1449,6 +1485,30 @@ def oracle_sql() -> dict[str, str]:
         from s1
         left join s2 on s1.user_id = s2.user_id
         left join s3 on s1.user_id = s3.user_id
+    """
+    sql["streaming_funnel"] = """
+        with s1 as (
+          select user_id, min(ts) as t1 from events
+          where event_type = 'signup' group by user_id),
+        s2 as (
+          select e.user_id, min(e.ts) as t2 from events e
+          join s1 on e.user_id = s1.user_id
+          where e.event_type = 'click' and e.ts > s1.t1
+          group by e.user_id),
+        s3 as (
+          select e.user_id, min(e.ts) as t3 from events e
+          join s2 on e.user_id = s2.user_id
+          where e.event_type = 'purchase' and e.ts > s2.t2
+          group by e.user_id)
+        select s1.user_id,
+               epoch_us(s1.t1)::BIGINT as u1,
+               epoch_us(s2.t2)::BIGINT as u2,
+               epoch_us(s3.t3)::BIGINT as u3,
+               ((epoch_us(s3.t3) - epoch_us(s1.t1)) // 1000000)::BIGINT
+                 as duration_s
+        from s1
+        join s2 on s1.user_id = s2.user_id
+        join s3 on s2.user_id = s3.user_id
     """
     from benthos_spark.ops.spans import sql_span_ctes as _span_ctes
 

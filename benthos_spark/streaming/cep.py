@@ -75,8 +75,15 @@ def _make_fn(steps: tuple, ts_col: str, type_col: str, key_name: str, gc_idle_s:
                 [
                     {
                         key_name: key[0],
+                        # round float epoch seconds back to exact integer
+                        # micros: naive unit="s" yields ns-precision values
+                        # with float noise that fails Arrow's safe ns->us
+                        # cast (float64 eps at current epochs is ~0.25us,
+                        # so round() recovers the original microseconds)
                         **{
-                            f"t{i + 1}": pd.to_datetime(c[i], unit="s")
+                            f"t{i + 1}": pd.to_datetime(
+                                int(round(c[i] * 1_000_000)), unit="us"
+                            )
                             for i in range(k)
                         },
                         "duration_s": int(c[k - 1] - c[0]),
