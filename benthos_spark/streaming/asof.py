@@ -62,15 +62,10 @@ def asof_enrich_static(
         for c in [*right_cols, on]
         if rdt[c] in ("tinyint", "smallint", "int", "bigint")
     ]
+    rschema = {f.name: f.dataType for f in rsel.schema.fields}
     out_schema = T.StructType(
         list(left.schema.fields)
-        + [
-            T.StructField(
-                prefix + c,
-                T._parse_datatype_string(rdt[c]),
-            )
-            for c in [*right_cols, on]
-        ]
+        + [T.StructField(prefix + c, rschema[c]) for c in [*right_cols, on]]
     )
     lcols = left.columns
 
