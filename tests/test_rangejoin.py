@@ -53,6 +53,19 @@ class TestRangeJoin:
         )
         assert got == [(1, 9), (2, 9)]
 
+    def test_extra_equi_keys_partition_matches(self, spark):
+        p = spark.createDataFrame(
+            [(1, "x", 50), (2, "y", 50)], "click_id long, k string, t long"
+        )
+        i = spark.createDataFrame(
+            [(10, "x", 0, 100)], "session_id long, k string, t_start long, t_end long"
+        )
+        got = sorted(
+            (r["click_id"], r["session_id"])
+            for r in range_join(p, i, bucket_width=100, keys=("k",)).collect()
+        )
+        assert got == [(1, 10)]  # same interval, wrong key -> no match
+
     def test_bad_width_raises(self, spark):
         p = spark.createDataFrame([(1, 10)], "click_id long, t long")
         with pytest.raises(ValueError):
