@@ -800,6 +800,18 @@ def _events_stream(spark, sf_dir, extra_rows=None):
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Row-level sessionization (ops/sessionize.py): 6-hour-gap sessions
+    per user over events, aggregated to per-session stats. Identical
+    lag + running-sum formula on integer epoch micros in DuckDB."""
+    from benthos_spark.ops.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return session_stats(ev, key="user_id", ts_col="ts", gap_s=6 * 3600).select(
+        "user_id", "session_ord", "n_events", "start_us", "end_us", "duration_s"
+    )
+
+
 def q_streaming_funnel(spark, sf_dir):
     """Streaming CEP end-to-end: events file stream -> stateful funnel
     (streaming/cep.py, applyInPandasWithState) -> exactly-once sink ->
@@ -1095,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "funnel": q_funnel,
         "streaming_funnel": q_streaming_funnel,
+        "sessionize": q_sessionize,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
         "batch_bytes": q_batch_bytes,
@@ -1486,6 +1499,10 @@ def oracle_sql() -> dict[str, str]:
         left join s2 on s1.user_id = s2.user_id
         left join s3 on s1.user_id = s3.user_id
     """
+    from benthos_spark.ops.sessionize import sql_session_stats as _sess_sql
+
+    sql["sessionize"] = _sess_sql("events", key="user_id", ts_col="ts",
+                                  gap_s=6 * 3600)
     sql["streaming_funnel"] = """
         with s1 as (
           select user_id, min(ts) as t1 from events
