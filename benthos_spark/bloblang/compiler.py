@@ -45,6 +45,26 @@ class CompileError(Exception):
     """Raised when an AST is not expressible as a Catalyst Column."""
 
 
+_STRIP_HTML_UDF = None
+
+
+def _strip_html_udf():
+    """Lazily-built, cached Arrow-batched strip_html UDF (htmlstrip.py)."""
+    global _STRIP_HTML_UDF
+    if _STRIP_HTML_UDF is None:
+        import pandas as pd  # noqa: F401  (pandas_udf requires pandas)
+        from pyspark.sql.functions import pandas_udf
+
+        from .htmlstrip import strip_html_series
+
+        @pandas_udf("string")
+        def _udf(s):
+            return strip_html_series(s)
+
+        _STRIP_HTML_UDF = _udf
+    return _STRIP_HTML_UDF
+
+
 def _base_type(spark_dtype: Optional[str]) -> Optional[str]:
     """Spark simpleString dtype -> coarse static type for the arithmetic rules."""
     if spark_dtype is None:
@@ -403,7 +423,11 @@ class ColumnCompiler:
         if name == "parse_json":
             raise CompileError("parse_json needs a schema; use from_json in the plan layer")
         if name == "strip_html":
-            return F.regexp_replace(recv, "<[^>]*>", "")
+            # bluemonday parity needs the full HTML5 entity table
+            # (decode-then-re-escape, htmlstrip.py) — not expressible as a
+            # Catalyst regex, so this compiles to an Arrow-batched pandas
+            # UDF with a vectorized fast path for entity-free rows.
+            return _strip_html_udf()(recv.cast("string"))
         if name == "escape_url_query":
             return F.url_encode(recv)
         if name == "unescape_url_query":

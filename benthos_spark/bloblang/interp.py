@@ -674,11 +674,12 @@ class Interpreter:
             except Exception as exc:
                 raise BloblangError(f"unquote failed: {exc}")
         if name == "strip_html":
-            # tags stripped, entities passed through — the reference's
-            # bluemonday strict policy (methods_strings.go:601) never
-            # DECODES entities, and the compiled Catalyst path
-            # (compiler.py strip_html) agrees
-            return re.sub(r"<[^>]*>", "", get_string(v))
+            # bluemonday strict policy (methods_strings.go:601): the
+            # net/html tokenizer DECODES entities, then html.EscapeString
+            # re-escapes only & ' < > " — see htmlstrip.py
+            from .htmlstrip import strip_html_str
+
+            return strip_html_str(get_string(v))
         if name == "escape_url_query":
             return urllib.parse.quote_plus(get_string(v))
         if name == "unescape_url_query":

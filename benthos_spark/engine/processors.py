@@ -279,7 +279,9 @@ class TextProc(Processor):
                     m = re.search(self.arg, s)
                     s = m.group() if m else ""
                 elif op == "strip_html":
-                    s = re.sub(r"<[^>]*>", "", s)
+                    from ..bloblang.htmlstrip import strip_html_str
+
+                    s = strip_html_str(s)
                 elif op == "escape_url_query":
                     import urllib.parse
 

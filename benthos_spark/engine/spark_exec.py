@@ -20,6 +20,7 @@ batch size, not key popularity.
 from __future__ import annotations
 
 import json as _json
+import re as _re
 from functools import lru_cache
 from typing import Any, Dict, Iterable, List, Optional
 
@@ -102,6 +103,42 @@ ROW_LOCAL_PROCESSORS = frozenset(
     }
 )
 
+# Interpolation functions whose value depends on batch context (position,
+# sibling parts, or global resolution order).  A config that interpolates any
+# of these is NOT part-local even when its processor type is: the mapInPandas
+# fast path feeds a whole Arrow chunk (spanning many batch_ids) as one batch,
+# so batch_index()/batch_size()/from()/from_all() would see the chunk, not
+# the original batch, and count() would resolve in chunk order.
+_BATCH_CONTEXT_INTERP = _re.compile(
+    r"\$\{!?[^}]*\b(?:batch_index|batch_size|from_all|from|count)\b"
+)
+
+
+def _conf_is_row_local(ptype: str, body: Any) -> bool:
+    """True only when this processor config is strictly part-local.
+
+    Beyond the type allowlist: json ``split``/``explode`` can change the part
+    count (one part fanning out to N), and any interpolated field referencing
+    batch-context functions reads beyond its own part — both must run in
+    grouped (batch-exact) mode."""
+    if ptype not in ROW_LOCAL_PROCESSORS:
+        return False
+    if ptype == "json" and isinstance(body, dict) and body.get("operator") in (
+        "split", "explode",
+    ):
+        return False
+
+    def scan(v) -> bool:
+        if isinstance(v, str):
+            return bool(_BATCH_CONTEXT_INTERP.search(v))
+        if isinstance(v, dict):
+            return any(scan(x) for x in v.values())
+        if isinstance(v, (list, tuple)):
+            return any(scan(x) for x in v)
+        return False
+
+    return not scan(body)
+
 
 def _rowlocal_kernel(conf_json: str):
     """mapInPandas kernel for chains of strictly part-local processors.
@@ -140,11 +177,18 @@ def _rowlocal_kernel(conf_json: str):
                 )
                 continue
             rows = []
-            for bid, seq, part in zip(pdf["batch_id"], pdf["seq"], parts):
+            # dense seq per (batch_id, out_batch), mirroring grouped mode's
+            # renumbering — a part fanning out to N outputs must not emit N
+            # duplicate (batch_id, out_batch, seq) triples.
+            next_seq: dict = {}
+            for bid, part in zip(pdf["batch_id"], parts):
                 for ob, batch in enumerate(execute_all(procs, [part], env)):
                     for p in batch:
+                        key = (int(bid), ob)
+                        s = next_seq.get(key, 0)
+                        next_seq[key] = s + 1
                         rows.append(
-                            {"batch_id": int(bid), "out_batch": ob, "seq": int(seq),
+                            {"batch_id": int(bid), "out_batch": ob, "seq": s,
                              "content": p.content, "meta": p.meta}
                         )
             yield pd.DataFrame(rows, columns=cols)
@@ -165,8 +209,8 @@ def run_frame_pipeline(df: DataFrame, processors_conf: List[Dict[str, Any]]) -> 
     'What's wrong #3': groupBy into one-row Python groups was the engine's
     one remaining anti-pattern)."""
     conf_json = _json.dumps(processors_conf)
-    types = [_split_conf(c)[0] for c in processors_conf]
-    if types and all(t in ROW_LOCAL_PROCESSORS for t in types):
+    split_confs = [_split_conf(c) for c in processors_conf]
+    if split_confs and all(_conf_is_row_local(t, b) for t, b in split_confs):
         return df.mapInPandas(_rowlocal_kernel(conf_json), FRAME_OUT_SCHEMA)
     return df.groupBy("batch_id").applyInPandas(_kernel(conf_json), FRAME_OUT_SCHEMA)
 
@@ -778,9 +822,12 @@ class NativePipeline:
             if is_stream:
                 from ..streaming.cep import streaming_funnel
 
+                # wm is None when an upstream stage already defined the
+                # watermark — streaming_funnel must then NOT re-define it
+                # below that stateful operator.
                 return streaming_funnel(
                     df, steps, key=key, ts_col=tsc, type_col=tyc,
-                    watermark=wm or "30 minutes",
+                    watermark=wm,
                 )
             from ..ops.funnel import funnel
 

@@ -8,8 +8,13 @@ this one is the scalable composition:
 
     union(left tagged 1, right tagged 0)
       -> window PARTITION BY key ORDER BY (on, tag)
-           last(right_col, ignorenulls) over rows unbounded preceding
-      -> keep tag 1
+           last(struct(right_cols..., on), ignorenulls)
+             over rows unbounded preceding
+      -> keep tag 1, unpack the struct
+
+The carried columns ride in one struct so they all come from the same
+matched right row (per-column windows would back-fill a NULL field from an
+older row).
 
 One shuffle total (the window's hash partition on the key — the same
 shuffle a join would pay), no nested-loop, no per-key driver state; skewed
@@ -46,14 +51,24 @@ def asof_join(
     ldt = dict(left.dtypes)
     lpay = [c for c in left.columns if c not in (by, on)]
     carried = [*right_cols, on]
+    # All carried columns travel as ONE struct so they are guaranteed to come
+    # from the same matched right row: independent per-column
+    # last(ignorenulls) windows would back-fill a NULL field from an OLDER
+    # right row, mixing columns across rows (DuckDB's native ASOF JOIN — and
+    # any join — carries the matched row's NULL instead).
+    struct_ddl = "struct<" + ",".join(
+        f"`{prefix + c}`:{rdt[c]}" for c in carried
+    ) + ">"
     l2 = left.select(
         by, on, F.lit(1).alias("_tag"), *lpay,
-        *[F.lit(None).cast(rdt[c]).alias(prefix + c) for c in carried],
+        F.lit(None).cast(struct_ddl).alias("_rstruct"),
     )
     r2 = right.select(
         by, on, F.lit(0).alias("_tag"),
         *[F.lit(None).cast(ldt[c]).alias(c) for c in lpay],
-        *[F.col(c).alias(prefix + c) for c in carried],
+        F.struct(
+            *[F.col(c).alias(prefix + c) for c in carried]
+        ).alias("_rstruct"),
     )
     w = (
         Window.partitionBy(by)
@@ -63,9 +78,13 @@ def asof_join(
     u = l2.unionByName(r2)
     filled = u.select(
         by, on, "_tag", *lpay,
-        *[
-            F.last(prefix + c, ignorenulls=True).over(w).alias(prefix + c)
-            for c in carried
-        ],
+        F.last("_rstruct", ignorenulls=True).over(w).alias("_rstruct"),
     )
-    return filled.where(F.col("_tag") == 1).drop("_tag")
+    return (
+        filled.where(F.col("_tag") == 1)
+        .select(
+            by, on, *lpay,
+            *[F.col("_rstruct").getField(prefix + c).alias(prefix + c)
+              for c in carried],
+        )
+    )

