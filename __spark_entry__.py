@@ -442,10 +442,11 @@ def q_awk_text_stats(spark, sf_dir):
 def q_grok_apache(spark, sf_dir):
     """grok processor with the standard pattern library (COMMONAPACHELOG,
     lib/processor/grok.go + grok_test.go:66-68 vector shape): synthesize an
-    apache access-log line per event, grok it back into typed fields, and
-    compare against the direct expressions the line was built from.
-    Part-local chain -> mapInPandas, no shuffle."""
-    from benthos_spark.engine.spark_exec import run_frame_pipeline
+    apache access-log line per event, grok it back into typed fields via the
+    NATIVE single-regex codegen stage (grok_to_java -> one regexp_replace
+    projection, zero Python), and compare against the direct expressions the
+    line was built from."""
+    from benthos_spark.engine.spark_exec import NativePipeline
 
     ev = _t(spark, sf_dir, "events")
     ip = F.format_string(
@@ -462,23 +463,21 @@ def q_grok_apache(spark, sf_dir):
         resp,
         (F.col("event_id") % 4096).cast("int"),
     )
-    frame = ev.select(
-        F.col("event_id").alias("batch_id"),
-        F.lit(0).alias("seq"),
-        F.encode(line, "utf-8").alias("content"),
-        F.create_map().cast("map<string,string>").alias("meta"),
+    # harness-only: sf* parquets are single-file/1-partition; spread the
+    # regex projection across cores (real inputs arrive multi-partition)
+    src = ev.repartition(32).select(F.col("event_id"), line.alias("logline"))
+    pipe = NativePipeline(
+        [{"grok": {"patterns": ["%{COMMONAPACHELOG}"], "column": "logline"}}],
+        dict(src.dtypes),
     )
-    out = run_frame_pipeline(
-        frame, [{"grok": {"patterns": ["%{COMMONAPACHELOG}"]}}]
-    )
-    doc = F.col("content").cast("string")
+    out = pipe(src)
     return out.select(
-        F.col("batch_id").alias("event_id"),
-        F.get_json_object(doc, "$.clientip").alias("clientip"),
-        F.get_json_object(doc, "$.auth").alias("auth"),
-        F.get_json_object(doc, "$.request").alias("request"),
-        F.get_json_object(doc, "$.response").cast("int").alias("response"),
-        F.get_json_object(doc, "$.bytes").cast("long").alias("nbytes"),
+        "event_id",
+        F.col("clientip"),
+        F.col("auth"),
+        F.col("request"),
+        F.col("response").cast("int").alias("response"),
+        F.col("bytes").cast("long").alias("nbytes"),
     )
 
 

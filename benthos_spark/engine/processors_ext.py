@@ -287,13 +287,89 @@ def grok_to_regex(
             raise ValueError(f"unknown grok pattern %{{{name}}}")
         inner = grok_to_regex(base, defs, casts, _depth + 1)
         if field:
-            if cast is not None and casts is not None:
-                casts[field] = cast
             safe = re.sub(r"[^a-zA-Z0-9_]", "_", field)
+            if cast is not None and casts is not None:
+                # key by the sanitized name — that's what groupdict() and
+                # the native field list carry
+                casts[safe] = cast
             return f"(?P<{safe}>{inner})"
         return f"(?:{inner})"
 
     return _GROK_REF.sub(sub, pattern)
+
+
+def grok_to_java(
+    pattern: str, definitions: Dict[str, str] | None = None
+) -> tuple:
+    """Compile a grok pattern to a JAVA-regex string for the native
+    (Catalyst) path: expand via :func:`grok_to_regex`, then convert Python
+    ``(?P<name>...)`` named groups to plain capturing groups while recording
+    each field's group INDEX (Spark's regex expressions address groups by
+    number).  Returns ``(java_pattern, fields, casts)`` where ``fields`` is
+    the ordered list of ``(field_name, group_index)``.
+
+    Raises ValueError on constructs with no Java translation (named
+    backreferences, conditionals, comments) — callers treat that as
+    "use the frame kernel".  Everything the standard library emits
+    (atomic groups, lookarounds, inline flags) is shared Python/Java
+    syntax."""
+    casts: Dict[str, str] = {}
+    py = grok_to_regex(pattern, definitions, casts)
+    re.compile(py)  # surface bad patterns here, not at executor time
+
+    out = []
+    fields = []  # (name, index) in group order
+    idx = 0
+    i, n = 0, len(py)
+    in_class = False
+    while i < n:
+        ch = py[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(py[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            out.append(ch)
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+            i += 1
+            # leading ] or ^] is literal in a class
+            if i < n and py[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and py[i] == "]":
+                out.append("]")
+                i += 1
+            continue
+        if ch == "(":
+            if py.startswith("(?P<", i):
+                j = py.index(">", i)
+                name = py[i + 4 : j]
+                idx += 1
+                fields.append((name, idx))
+                out.append("(")
+                i = j + 1
+                continue
+            if py.startswith("(?P=", i) or py.startswith("(?P>", i):
+                raise ValueError("named backreference has no Java translation")
+            if py.startswith("(?#", i) or py.startswith("(?(", i):
+                raise ValueError("regex comment/conditional has no Java translation")
+            if py.startswith("(?", i):
+                out.append(ch)  # (?: (?= (?! (?> (?<= (?<! (?i) ... shared syntax
+                i += 1
+                continue
+            idx += 1  # plain unnamed capturing group still counts in Java
+            out.append(ch)
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out), fields, casts
 
 
 class GrokProc(Processor):

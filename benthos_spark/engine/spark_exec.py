@@ -843,6 +843,90 @@ class NativePipeline:
             _add_col(cols, c, None)
         return t
 
+    def _c_grok(self, body, cols):
+        """Native grok (lib/processor/grok.go:154 semantics): the whole grok
+        pattern compiles to ONE Java regex (grok_to_java) and extraction is
+        a single-pass codegen projection — ``regexp_replace`` rewrites the
+        matched line into a \\x01-delimited string of all capture groups,
+        then one ``split`` fans the fields out.  One regex execution per row
+        (vs k+1 for per-field regexp_extract), no Python, no shuffle: the
+        100 TB log-parsing path.
+
+        Output: one column per named capture (string, or long/double under
+        an explicit ``:int``/``:float`` cast), NULL when the pattern does
+        not match the row and — with ``remove_empty_values`` (default on) —
+        when the capture is empty, mirroring the frame kernel's dropped
+        keys.  Falls back (CompileError) for multi-pattern configs or
+        Python-only regex constructs.
+
+        Caveat (documented): rows whose ORIGINAL text contains \\x01 can be
+        mis-detected; real log lines don't contain control chars — route
+        binary-ish inputs through the frame kernel."""
+        from .processors_ext import grok_to_java
+
+        src = body.get("column")
+        if not src:
+            # typed mode needs an explicit source column; message-frame
+            # specs (content/meta shape) keep the frame kernel's
+            # JSON-document output contract
+            raise CompileError("native grok needs an explicit 'column'")
+        pats = [p for p in (body.get("patterns") or [body.get("pattern", "")]) if p]
+        if len(pats) != 1:
+            raise CompileError("native grok compiles exactly one pattern")
+        defs = {
+            str(k): str(v)
+            for k, v in (body.get("pattern_definitions") or {}).items()
+        }
+        try:
+            java_pat, fields, casts = grok_to_java(pats[0], defs)
+        except ValueError as exc:
+            raise CompileError(f"grok pattern not Java-translatable: {exc}")
+        if not fields:
+            raise CompileError("native grok needs at least one named capture")
+        remove_empty = bool(body.get("remove_empty_values", True))
+        sep = "\x01"
+        # \A(?s:.*?) pat (?s:.*)\z == Python re.search: the scan prefix
+        # crosses newlines, the pattern itself keeps its own flags
+        outer = r"\A(?s:.*?)(?:" + java_pat + r")(?s:.*)\z"
+        rep = sep + sep.join(f"${i}" for _, i in fields)
+
+        for name, _ in fields:
+            c = casts.get(name)
+            _add_col(
+                cols, name,
+                "bigint" if c == "int" else "double" if c == "float" else "string",
+            )
+
+        def t(df):
+            ext = F.regexp_replace(F.col(src).cast("string"), outer, rep)
+            # materialize the split ONCE as a real column so the regex runs
+            # one time per row no matter how many fields read from it
+            # (CollapseProject keeps multi-referenced expensive aliases)
+            out = df.withColumn("_grok_parts", F.split(ext, sep))
+            parts = F.col("_grok_parts")
+            # matched rows start with the sentinel -> first split element is
+            # the empty string and the array has exactly k+1 elements;
+            # unmatched rows pass through regexp_replace unchanged (1
+            # element, non-empty unless the input itself was empty). The
+            # size check also keeps every element_at in bounds (ANSI mode).
+            matched = (F.size(parts) == F.lit(len(fields) + 1)) & (
+                F.element_at(parts, 1) == ""
+            )
+            for j, (name, _) in enumerate(fields):
+                raw = F.when(matched, F.element_at(parts, j + 2))
+                if remove_empty:
+                    raw = F.when(raw != "", raw)
+                cast = casts.get(name)
+                if cast == "int":
+                    # int(float(v)) in the kernel: parse as double, truncate
+                    raw = raw.try_cast("double").try_cast("long")
+                elif cast == "float":
+                    raw = raw.try_cast("double")
+                out = out.withColumn(name, raw)
+            return out.drop("_grok_parts")
+
+        return t
+
     def _c_asof_join(self, body, cols):
         """As-of enrichment against a parquet table (ops/asof.py): adds
         ``prefix``-named right columns carried from the latest
