@@ -35,19 +35,36 @@ def asof_enrich_static(
     by: str = "user_id",
     right_cols: tuple = ("value",),
     prefix: str = "r_",
-    max_right_rows: int = 50_000_000,
+    max_right_rows: int = 5_000_000,
+    max_right_bytes: int = 2 << 30,
 ) -> DataFrame:
     """All left columns plus ``prefix+c`` for each ``right_cols`` entry and
     ``prefix+on`` (the matched right key), NULL where nothing precedes.
-    ``right`` must be a batch DataFrame (the static dimension)."""
+    ``right`` must be a batch DataFrame (the static dimension).
+
+    The dimension materializes on the driver, so BOTH budgets are enforced
+    and the row budget is checked BEFORE collecting (a limit(n+1).count()
+    job — an over-sized dimension fails with a clear error instead of
+    OOMing the driver mid-toPandas). Over budget => use the batch
+    ``ops.asof.asof_join`` (one keyed shuffle, no driver materialization)
+    on a micro-batch sink instead."""
     if right.isStreaming:
         raise ValueError("right side must be a static (batch) DataFrame")
     rsel = right.select(by, on, *right_cols)
-    rpdf = rsel.toPandas()
-    if len(rpdf) > max_right_rows:
+    probed = rsel.limit(max_right_rows + 1).count()
+    if probed > max_right_rows:
         raise ValueError(
-            f"right side has {len(rpdf)} rows (> {max_right_rows}); "
-            "not dimension-scale — use the batch asof_join instead"
+            f"right side exceeds max_right_rows={max_right_rows}; "
+            "not dimension-scale — use the batch asof_join "
+            "(benthos_spark.ops.asof) instead"
+        )
+    rpdf = rsel.toPandas()
+    nbytes = int(rpdf.memory_usage(deep=True).sum())
+    if nbytes > max_right_bytes:
+        raise ValueError(
+            f"right side is ~{nbytes} bytes in memory "
+            f"(> max_right_bytes={max_right_bytes}); not dimension-scale — "
+            "use the batch asof_join (benthos_spark.ops.asof) instead"
         )
     rpdf = rpdf.sort_values([on]).reset_index(drop=True)
     rpdf = rpdf.rename(columns={c: prefix + c for c in [*right_cols, on]})

@@ -63,3 +63,37 @@ class TestAsofEnrichStatic:
         want = {x["event_id"]: (x["r_value"], x["r_ts"])
                 for x in asof_join(l, r).collect()}
         assert got == want
+
+
+class TestDimensionBudget:
+    """r3 verdict #4: the dimension must fail fast with a clear error
+    BEFORE driver materialization when over budget."""
+
+    def test_over_row_budget_raises(self, spark):
+        from benthos_spark.streaming.asof import asof_enrich_static
+
+        left = spark.createDataFrame([(1, 1)], "user_id int, ts int")
+        right = spark.range(0, 100).selectExpr(
+            "cast(id % 5 as int) user_id", "cast(id as int) ts", "id value"
+        )
+        with pytest.raises(ValueError, match="max_right_rows"):
+            asof_enrich_static(left, right, max_right_rows=50)
+
+    def test_over_byte_budget_raises(self, spark):
+        from benthos_spark.streaming.asof import asof_enrich_static
+
+        left = spark.createDataFrame([(1, 1)], "user_id int, ts int")
+        right = spark.range(0, 1000).selectExpr(
+            "cast(id % 5 as int) user_id", "cast(id as int) ts",
+            "repeat('x', 1000) value",
+        )
+        with pytest.raises(ValueError, match="max_right_bytes"):
+            asof_enrich_static(left, right, max_right_bytes=10_000)
+
+    def test_under_budget_passes(self, spark):
+        from benthos_spark.streaming.asof import asof_enrich_static
+
+        left = spark.createDataFrame([(1, 10)], "user_id int, ts int")
+        right = spark.createDataFrame([(1, 5, 7)], "user_id int, ts int, value int")
+        out = asof_enrich_static(left, right).collect()
+        assert out[0]["r_value"] == 7
