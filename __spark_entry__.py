@@ -1056,17 +1056,35 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Multimodal plumbing with a REAL decode step: assemble a valid PNG
+    header per row (magic + IHDR length/type + big-endian dims derived from
+    doc_id) in Catalyst, run the Arrow-batched featurizer whose default
+    decoder parses the header back (formats/imagemeta.py), and let the
+    DuckDB oracle recompute the dims arithmetically — the parse is checked
+    against an independent formula, not a re-parse."""
     from benthos_spark.ops.multimodal import extract_media_features
 
+    w = (F.col("doc_id") % 1000 + 1).cast("int")
+    h = (F.col("doc_id") % 800 + 1).cast("int")
+    magic = F.lit(bytes.fromhex("89504e470d0a1a0a0000000d49484452"))
+    payload = F.concat(
+        magic,
+        F.unhex(F.lpad(F.hex(w), 8, "0")),
+        F.unhex(F.lpad(F.hex(h), 8, "0")),
+        F.encode("text", "utf-8"),
+    )
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.encode("text", "utf-8").alias("payload"),
+        payload.alias("payload"),
     )
     out = extract_media_features(docs, binary_col="payload", id_col="doc_id")
     return out.select(
         "media_id",
         F.col("features.n_bytes").alias("n_bytes"),
         F.col("features.head_hex").alias("head_hex"),
+        F.col("features.format").alias("format"),
+        F.col("features.width").alias("width"),
+        F.col("features.height").alias("height"),
     )
 
 
@@ -1774,8 +1792,11 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["media_features"] = """
         select doc_id::VARCHAR as media_id,
-               octet_length(encode(text)) as n_bytes,
-               lower(hex(encode(substring(text, 1, 8)))) as head_hex
+               (24 + octet_length(encode(text)))::BIGINT as n_bytes,
+               '89504e470d0a1a0a' as head_hex,
+               'png' as format,
+               (doc_id % 1000 + 1)::INTEGER as width,
+               (doc_id % 800 + 1)::INTEGER as height
         from documents
     """
     # every query above has a full oracle (ann_lsh included: identical SRP plane literals)

@@ -1,11 +1,12 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media payloads are opaque ``BINARY`` columns with typed metadata, processed
-by Arrow-batched ``mapInPandas`` kernels. The decode step itself is STUBBED
-(no imaging/audio libraries in this environment — see ``set_decoder``);
-everything Spark-side is real and tested: schema contract, batch shape,
-partition sizing, and a deterministic fallback featurizer so pipelines and
-tests run end-to-end.
+by Arrow-batched ``mapInPandas`` kernels. The default decode step is a REAL
+pure-Python header parser (``formats/imagemeta.py``: PNG/JPEG/GIF/BMP/WEBP
+dimensions from the public container specs) plus generic byte features;
+PIXEL-level decode (resize, colorspace, audio PCM) still requires an
+imaging/audio library not present here and remains pluggable via
+``set_decoder`` (``decode_strict`` is the honest raising stub for it).
 
 Design for 100 TB: media bytes never pass through a shuffle — featurization
 is a narrow map over the scan, and only the (small) feature struct flows
@@ -26,10 +27,14 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
         T.StructField("head_hex", T.StringType()),
         T.StructField("byte_entropy", T.DoubleType()),
         T.StructField("decoder", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
     ]
 )
 
-# pluggable real decoder: fn(payload: bytes) -> dict matching MEDIA_FEATURE_SCHEMA
+# pluggable decoder override: fn(payload: bytes) -> dict matching
+# MEDIA_FEATURE_SCHEMA (e.g. a PIL/ffmpeg-backed pixel decoder)
 _DECODER: Optional[Callable[[bytes], dict]] = None
 
 
@@ -38,29 +43,41 @@ def set_decoder(fn: Optional[Callable[[bytes], dict]]) -> None:
     _DECODER = fn
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in featurizer (REAL decode needs an imaging lib:
-    plug one in via set_decoder; raising path covered by decode_strict)."""
+def header_decode(payload: bytes) -> dict:
+    """Default decoder: generic byte features plus REAL container-header
+    parsing (formats/imagemeta.py) — format/width/height populated for
+    PNG/JPEG/GIF/BMP/WEBP payloads, NULL otherwise."""
     import math
     from collections import Counter
+
+    from ..formats.imagemeta import parse_dimensions
 
     n = len(payload)
     counts = Counter(payload[:4096])
     total = sum(counts.values()) or 1
     ent = -sum((c / total) * math.log2(c / total) for c in counts.values())
+    dims = parse_dimensions(payload)
     return {
         "n_bytes": n,
         "head_hex": payload[:8].hex(),
         "byte_entropy": round(ent, 4),
-        "decoder": "fake",
+        "decoder": "headers",
+        "format": dims[0] if dims else None,
+        "width": dims[1] if dims else None,
+        "height": dims[2] if dims else None,
     }
 
 
+# kept under its historical name for tests/pipelines that pinned it
+_fake_decode = header_decode
+
+
 def decode_strict(payload: bytes) -> dict:
-    """The honest stub: a real image/audio decode is not available here."""
+    """The honest stub for PIXEL-level decode: not available here."""
     raise NotImplementedError(
-        "media decoding requires an imaging/audio library not present in "
-        "this environment; register one with set_decoder()"
+        "pixel/audio decoding requires an imaging/audio library not present "
+        "in this environment; register one with set_decoder() — header "
+        "metadata extraction works without it (header_decode)"
     )
 
 
@@ -84,7 +101,7 @@ def extract_media_features(
     )
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decoder = _DECODER or _fake_decode
+        decoder = _DECODER or header_decode
         for pdf in it:
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo : lo + batch_rows]
