@@ -255,6 +255,46 @@ def has_iceberg(spark) -> bool:
         return False
 
 
+class LocalOverwritePartitionsSink(IdempotentSink):
+    """Jar-free stand-in exercising the ICEBERG data-step semantics on the
+    local filesystem: one table directory partitioned by ``_batch_id``,
+    written with Spark's DYNAMIC partition-overwrite — a replayed batch
+    atomically replaces exactly its own partition, the same convergence
+    property ``writeTo(t).overwritePartitions()`` provides via Iceberg
+    snapshots. The commit protocol (markers, metrics, replay skip) is the
+    shared IdempotentSink machinery, so a test green here verifies
+    everything about the Iceberg path except the catalog/jar itself
+    (tests/test_streaming.py::TestIcebergSink documents the jar
+    coordinate and runs the real path when present)."""
+
+    def __init__(self, root: str):
+        super().__init__(root)
+        self.table_dir = _join(root, "table")
+
+    def _write_data(self, staged: DataFrame, batch_id: int) -> None:
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(self.table_dir)
+        )
+
+    def read(self, spark) -> DataFrame:
+        # mirror IcebergSink.read: table scan filtered to marker-committed
+        # batch ids (partition pruning does the rest)
+        fs = self._bind_fs(spark)
+        committed = [
+            int(fn.split(".")[0])
+            for fn in fs.listdir(self.commits_dir)
+            if fn.endswith(".json") and ".tmp-" not in fn
+        ]
+        if not committed:
+            raise FileNotFoundError(f"no committed batches under {self.root}")
+        return spark.read.parquet(self.table_dir).filter(
+            F.col("_batch_id").isin(committed)
+        )
+
+
 class IcebergSink(IdempotentSink):
     """IdempotentSink writing micro-batches into an Iceberg table, the
     north rule's canonical sink. Same commit protocol; the data step becomes
