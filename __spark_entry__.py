@@ -16,8 +16,23 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+# Harness-level input cache: the driver runs all 58 oracle queries in one
+# session, and the small hot tables (documents/events/embeddings) are
+# re-read by dozens of them — one .cache() per (app, sf, table) trims the
+# per-round wall-clock without changing any result. Big TPC-H tables stay
+# uncached so scan pruning/pushdown behavior is untouched.
+_TABLE_CACHE: dict = {}
+_CACHEABLE = {"documents", "events", "embeddings", "nation", "region"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name not in _CACHEABLE:
+        return df
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = df.cache()
+    return _TABLE_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
