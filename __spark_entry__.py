@@ -814,6 +814,50 @@ def _events_stream(spark, sf_dir, extra_rows=None):
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def q_streaming_neardup(spark, sf_dir):
+    """Streaming MinHash-LSH near-dup dedupe end-to-end (streaming/
+    neardup.py): documents fed as TWO ordered parquet files (cross-batch
+    dup pairs prove bucket state survives micro-batch boundaries) ->
+    stateless k-lanes signature kernel -> stateful (band, band_key) bucket
+    op -> exactly-once sink -> read-side finalize. Oracle recomputes the
+    identical k-lane formula in DuckDB and derives anchor = min earlier
+    band partner per doc — the batch formulation of the same semantics."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from benthos_spark.streaming.neardup import (
+        finalize_neardup,
+        minhash_band_rows,
+        streaming_neardup,
+    )
+    from benthos_spark.streaming.sink import IdempotentSink, run_to_sink
+
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    with_ts = docs.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id"))
+    )
+    src = tempfile.mkdtemp(prefix="bs_ndq_src_")
+    for i, pred in enumerate(
+        [F.col("doc_id") <= F.lit(med), F.col("doc_id") > F.lit(med)]
+    ):
+        tmp = tempfile.mkdtemp(prefix="bs_ndq_part_")
+        with_ts.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = sorted(_glob.glob(tmp + "/part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{i}_docs.parquet"))
+    stream = (
+        spark.readStream.schema(with_ts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    bands = minhash_band_rows(stream, k=16, bands=4, n=2)
+    out = streaming_neardup(bands, watermark="1 hour")
+    sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_ndq_sink_"))
+    run_to_sink(out, sink, tempfile.mkdtemp(prefix="bs_ndq_ckpt_"))
+    return finalize_neardup(sink.read(spark), docs)
+
+
 def q_sessionize(spark, sf_dir):
     """Row-level sessionization (ops/sessionize.py): 6-hour-gap sessions
     per user over events, aggregated to per-session stats. Identical
@@ -1145,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "funnel": q_funnel,
         "streaming_funnel": q_streaming_funnel,
+        "streaming_neardup": q_streaming_neardup,
         "sessionize": q_sessionize,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
@@ -1670,6 +1715,27 @@ def oracle_sql() -> dict[str, str]:
         select distinct a.doc_id as id_a, b.doc_id as id_b
         from band a join band b
           on a.band = b.band and a.band_key = b.band_key and a.doc_id < b.doc_id
+        """
+    )
+    # streaming near-dup: identical k-lane signature + band formula; anchor
+    # = min earlier (smaller-id) doc sharing any band — the batch statement
+    # of the stream's first-seen-keeper semantics (in-order ingest)
+    sql["streaming_neardup"] = (
+        _SQL_BIGRAMS
+        + """,
+        hs as (select doc_id, h,
+                 min(""" + _lane + """) sig
+               from sh, generate_series(0, 15) g(h) group by doc_id, h),
+        band as (select doc_id, h // 4 as band,
+                   string_agg(sig::VARCHAR, ',' order by h) as band_key
+                 from hs group by doc_id, h // 4),
+        partners as (select b.doc_id, min(a.doc_id) as anchor
+                     from band b join band a
+                       on a.band = b.band and a.band_key = b.band_key
+                      and a.doc_id < b.doc_id
+                     group by b.doc_id)
+        select d.doc_id, p.anchor, (p.anchor is null) as is_keeper
+        from documents d left join partners p on p.doc_id = d.doc_id
         """
     )
     sql["dedup_simhash"] = _SQL_SIMHASH

@@ -36,7 +36,11 @@ def shingles_of(toks: Column, n: int) -> Column:
     expressions referenced inside higher-order-function lambdas are inlined
     and re-evaluated per element (measured 10x+ blowup), a bound column is
     evaluated once per row."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # guard short docs: sequence(1, 0) is DESCENDING [1, 0] in Spark, which
+    # would drive element_at out of bounds (ANSI error) for < n tokens
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),

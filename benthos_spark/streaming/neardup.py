@@ -1,0 +1,201 @@
+"""Streaming near-duplicate dedupe: incremental MinHash-LSH over a
+document stream — the streaming-ingest counterpart of the batch
+``ops.dedup.minhash_lsh_pairs`` (the reference's dedupe processor covers
+exact keys only; near-dup ingest dedupe is the capability a 10^12-doc
+web-crawl pipeline actually runs).
+
+Semantics (first-seen keeper): a document is a near-duplicate iff it
+shares at least one LSH band with an EARLIER document; its ``anchor`` is
+the smallest earlier doc id among those band partners. With in-order
+ingest (event-time ordered, the harness contract) this is byte-equal to
+the batch/SQL formulation "anchor = min earlier id sharing a band".
+
+Physical plan, stream-shaped end to end:
+1. ``minhash_band_rows`` — STATELESS signature computation per row via an
+   Arrow-batched ``mapInPandas`` kernel (hashlib's C md5; the identical
+   k-lanes-per-digest formula as ``ops.dedup.minhash_wide``, so the DuckDB
+   oracle can recompute it). The batch op's groupBy-over-shingles cannot
+   run mid-stream; the kernel folds the per-shingle min inside the row.
+   Emits ``bands`` rows per doc: (id, ts, band, band_key).
+2. ``streaming_neardup`` — ONE stateful operator: groupBy(band, band_key)
+   + applyInPandasWithState. State per bucket = the minimum doc id seen
+   (one LONG — bounded regardless of bucket size), event-time-timeout
+   GC'd after ``gc_idle_s``. Emits (id, band, partner) per arriving row.
+3. ``finalize_neardup`` — stateless read-side view over the sink:
+   per-doc min(partner) -> (doc_id, anchor, is_keeper).
+
+Scale: the only shuffle is the groupBy on (band, band_key) — the same key
+the batch op joins on; state is O(#distinct buckets) longs; documents
+never shuffle (only id+band rows do).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..ops.dedup import MINHASH_LANES
+
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+
+BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_key", T.StringType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType([T.StructField("min_id", T.LongType())])
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("partner", T.LongType()),
+    ]
+)
+
+
+def _signature(text: str, k: int, n: int) -> list | None:
+    """k-lane minhash signature of one document — the EXACT formula of
+    ops.dedup.minhash_wide: hash h = int of 7 hex digits at offset
+    7*(h%4) of md5('(h//4)|shingle'), min over distinct n-gram shingles
+    of whitespace tokens of lower/non-alnum-collapsed text."""
+    norm = _NORM_RE.sub(" ", (text or "").lower()).strip()
+    toks = norm.split(" ") if norm else []
+    if len(toks) < n:
+        return None
+    shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    n_salts = (k + MINHASH_LANES - 1) // MINHASH_LANES
+    sig = [None] * k
+    for s in shingles:
+        digests = [
+            hashlib.md5(f"{salt}|{s}".encode()).hexdigest()
+            for salt in range(n_salts)
+        ]
+        for h in range(k):
+            salt, lane = divmod(h, MINHASH_LANES)
+            v = int(digests[salt][7 * lane : 7 * lane + 7], 16)
+            if sig[h] is None or v < sig[h]:
+                sig[h] = v
+    return sig
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateless (id, ts, band, band_key) rows — ``bands`` per document
+    with >= n tokens, none for shorter docs (they can't near-dup, exactly
+    like the batch op's empty shingle set). Streaming-safe: a pure
+    mapInPandas projection, no aggregation, no shuffle."""
+    r = k // bands
+
+    def kernel(it: Iterable[pd.DataFrame]):
+        for pdf in it:
+            ids, tss, bnd, keys = [], [], [], []
+            for did, ts, text in zip(pdf[id_col], pdf[ts_col], pdf[text_col]):
+                sig = _signature(text, k, n)
+                if sig is None:
+                    continue
+                for b in range(bands):
+                    ids.append(did)
+                    tss.append(ts)
+                    bnd.append(b)
+                    keys.append(",".join(str(sig[h]) for h in range(b * r, (b + 1) * r)))
+            if not ids:
+                continue  # empty frame would infer float64 for ts (Arrow cast error)
+            yield pd.DataFrame(
+                {"id": ids, "ts": tss, "band": bnd, "band_key": keys}
+            )
+
+    cols = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        F.col(text_col).alias(text_col),
+    )
+    return cols.mapInPandas(kernel, BAND_SCHEMA)
+
+
+def _bucket_fn(gc_idle_s: float):
+    def fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (min_seen,) = state.get if state.exists else (None,)
+        rows = []
+        last_ts = None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("id")
+            for did, ts, band in zip(pdf["id"], pdf["ts"], pdf["band"]):
+                did = int(did)
+                partner = min_seen if (min_seen is not None and min_seen < did) else None
+                rows.append((did, int(band), partner))
+                if min_seen is None or did < min_seen:
+                    min_seen = did
+                t = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+                last_ts = t if last_ts is None else max(last_ts, t)
+        state.update((int(min_seen),))
+        if last_ts is not None:
+            state.setTimeoutTimestamp(int((last_ts + gc_idle_s) * 1000))
+        if rows:
+            yield pd.DataFrame(rows, columns=["id", "band", "partner"]).astype(
+                {"id": "int64", "band": "int32", "partner": "Int64"}
+            )
+
+    return fn
+
+
+def streaming_neardup(
+    band_rows: DataFrame,
+    watermark: str | None = "30 minutes",
+    ts_col: str = "ts",
+    gc_idle_s: float = 86400.0,
+) -> DataFrame:
+    """Append-mode stream of (id, band, partner): ``partner`` is the
+    smallest EARLIER doc id previously seen in this (band, band_key)
+    bucket, NULL when the document is first into the bucket. State is one
+    long per live bucket, GC'd ``gc_idle_s`` of event time after the
+    bucket's last arrival. ``watermark=None`` when an upstream stage
+    already defined it."""
+    if watermark is not None:
+        band_rows = band_rows.withWatermark(ts_col, watermark)
+    return band_rows.groupBy("band", "band_key").applyInPandasWithState(
+        _bucket_fn(gc_idle_s),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def finalize_neardup(
+    band_out: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Read-side view: (doc_id, anchor, is_keeper). ``min(partner)``
+    ignores NULLs, so a doc whose every bucket it opened itself (or with
+    no bands at all) is a keeper."""
+    partners = band_out.groupBy(F.col("id").alias(id_col)).agg(
+        F.min("partner").alias("anchor")
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(partners, id_col, "left")
+        .select(
+            id_col,
+            "anchor",
+            F.col("anchor").isNull().alias("is_keeper"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Streaming MinHash-LSH near-dup dedupe (streaming/neardup.py).
+
+The stateless kernel must reproduce the batch k-lanes signature exactly;
+the stateful bucket op must detect near-dups ACROSS micro-batches and
+yield the batch "min earlier band partner" semantics end to end through
+the exactly-once sink.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from benthos_spark.ops.dedup import minhash_wide
+from benthos_spark.streaming.neardup import (
+    finalize_neardup,
+    minhash_band_rows,
+    streaming_neardup,
+)
+from benthos_spark.streaming.sink import IdempotentSink, run_to_sink
+
+DOCS = [
+    # two exact near-dup families + singletons; text normalization is
+    # exercised (case, punctuation)
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "The quick brown fox JUMPS over the lazy dog today!!"),
+    (3, "completely different text about spark structured streaming state"),
+    (4, "the quick brown fox jumps over the lazy dog today folks"),
+    (5, "another unrelated document mentioning iceberg sinks and lineage"),
+    (6, "completely different text about spark structured streaming state"),
+    (7, "short"),
+]
+
+
+def _docs_df(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return df.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id"))
+    )
+
+
+class TestSignatureParity:
+    def test_band_keys_match_batch_minhash(self, spark):
+        docs = _docs_df(spark)
+        k, bands, n = 16, 4, 2
+        r = k // bands
+        wide = minhash_wide(docs, k=k, n=n).collect()
+        expected = set()
+        for row in wide:
+            for b in range(bands):
+                key = ",".join(str(row[f"m{h}"]) for h in range(b * r, (b + 1) * r))
+                expected.add((row["id"], b, key))
+        got = {
+            (r2["id"], r2["band"], r2["band_key"])
+            for r2 in minhash_band_rows(docs, k=k, bands=bands, n=n).collect()
+        }
+        assert got == expected
+
+    def test_short_doc_has_no_bands(self, spark):
+        docs = _docs_df(spark)
+        got = minhash_band_rows(docs).where(F.col("id") == 7).count()
+        assert got == 0
+
+
+class TestStreamingNearDup:
+    def _run(self, spark, split_at):
+        """Feed docs as two files split at doc_id < split_at (cross-batch
+        dup pairs prove state survives micro-batch boundaries)."""
+        docs = _docs_df(spark)
+        src = tempfile.mkdtemp(prefix="bs_nd_src_")
+        for i, pred in enumerate(
+            [F.col("doc_id") < split_at, F.col("doc_id") >= split_at]
+        ):
+            tmp = tempfile.mkdtemp(prefix="bs_nd_part_")
+            docs.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            import glob
+
+            part = sorted(glob.glob(tmp + "/part-*.parquet"))[0]
+            shutil.copy(part, f"{src}/{i}_docs.parquet")
+        schema = docs.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        bands = minhash_band_rows(stream)
+        out = streaming_neardup(bands, watermark="1 hour")
+        sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_nd_sink_"))
+        run_to_sink(out, sink, tempfile.mkdtemp(prefix="bs_nd_ckpt_"))
+        return finalize_neardup(sink.read(spark), docs).collect()
+
+    def test_matches_batch_semantics_cross_batch(self, spark):
+        rows = {r["doc_id"]: (r["anchor"], r["is_keeper"]) for r in self._run(spark, 3)}
+        # family {1,2,4}: 1 keeper, 2 and 4 anchor to 1 (4 arrives in the
+        # SECOND micro-batch — cross-batch state)
+        assert rows[1] == (None, True)
+        assert rows[2] == (1, False)
+        assert rows[4] == (1, False)
+        # family {3,6}: split across batches too
+        assert rows[3] == (None, True)
+        assert rows[6] == (3, False)
+        # singletons + short doc are keepers
+        assert rows[5] == (None, True)
+        assert rows[7] == (None, True)
+        assert len(rows) == 7
+
+    def test_single_batch_same_result(self, spark):
+        rows = {r["doc_id"]: (r["anchor"], r["is_keeper"]) for r in self._run(spark, 100)}
+        assert rows[2] == (1, False) and rows[4] == (1, False)
+        assert rows[6] == (3, False)
+
+
+class TestPlan:
+    def test_stateless_stage_has_no_shuffle(self, spark):
+        docs = _docs_df(spark)
+        plan = (
+            minhash_band_rows(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan
