@@ -843,6 +843,48 @@ class NativePipeline:
             _add_col(cols, c, None)
         return t
 
+    def _c_neardup(self, body, cols):
+        """MinHash-LSH near-dup dedupe — terminal stage. Batch (default):
+        ops/dedup.neardup_anchor, output (id, anchor, is_keeper). With
+        ``streaming: true``: stateless signature kernel + stateful bucket
+        op (streaming/neardup.py), output is the append-mode
+        (id, band, partner) stream — finalize on the sink read-back with
+        streaming.neardup.finalize_neardup."""
+        k = int(body.get("k", 16))
+        bands_n = int(body.get("bands", 4))
+        n = int(body.get("n", 2))
+        text_col = body.get("text_col", "text")
+        id_col = body.get("id_col", "doc_id")
+        tsc = body.get("ts_col", "ts")
+        is_stream = bool(body.get("streaming", False))
+        wm = None if self._watermarked else body.get("watermark", "30 minutes")
+        if is_stream:
+            self._watermarked = True
+
+        def t(df):
+            if is_stream:
+                from ..streaming.neardup import minhash_band_rows, streaming_neardup
+
+                rows = minhash_band_rows(
+                    df, k=k, bands=bands_n, n=n,
+                    text_col=text_col, id_col=id_col, ts_col=tsc,
+                )
+                return streaming_neardup(rows, watermark=wm, ts_col=tsc)
+            from ..ops.dedup import neardup_anchor
+
+            return neardup_anchor(
+                df, k=k, bands=bands_n, n=n, text_col=text_col, id_col=id_col
+            )
+
+        cols.clear()
+        if is_stream:
+            for c, d in (("id", "bigint"), ("band", "int"), ("partner", "bigint")):
+                _add_col(cols, c, d)
+        else:
+            for c, d in (("id", "bigint"), ("anchor", "bigint"), ("is_keeper", "boolean")):
+                _add_col(cols, c, d)
+        return t
+
     def _c_grok(self, body, cols):
         """Native grok (lib/processor/grok.go:154 semantics): the whole grok
         pattern compiles to ONE Java regex (grok_to_java) and extraction is

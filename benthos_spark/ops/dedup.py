@@ -157,6 +157,54 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_anchor(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-seen-keeper near-dup view: (id, anchor, is_keeper) where
+    ``anchor`` is the smallest earlier (lower-id) doc sharing at least one
+    LSH band, NULL for keepers. The batch statement of
+    :func:`benthos_spark.streaming.neardup.streaming_neardup`'s in-order
+    semantics (tests assert equality); plan is the band equi-join of
+    minhash_lsh_pairs plus one min-aggregation."""
+    r = k // bands
+    wide = minhash_wide(docs, k=k, n=n, text_col=text_col, id_col=id_col)
+    band = wide.select(
+        "id",
+        F.expr(
+            "stack({b}, {args}) as (band, band_key)".format(
+                b=bands,
+                args=", ".join(
+                    "{b}, concat_ws(',', {cols})".format(
+                        b=b, cols=", ".join(f"m{h}" for h in range(b * r, (b + 1) * r))
+                    )
+                    for b in range(bands)
+                ),
+            )
+        ),
+    )
+    a, b = band.alias("a"), band.alias("b")
+    partners = (
+        b.join(
+            a,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("b.id").alias("id"))
+        .agg(F.min(F.col("a.id")).alias("anchor"))
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias("id"))
+        .join(partners, "id", "left")
+        .select("id", "anchor", F.col("anchor").isNull().alias("is_keeper"))
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash fingerprint over token 60-bit md5 hashes (top ``bits`` bits).
 

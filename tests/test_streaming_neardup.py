@@ -122,3 +122,47 @@ class TestPlan:
         )
         assert "Exchange" not in plan
         assert "MapInPandas" in plan
+
+
+class TestBatchTwin:
+    def test_batch_neardup_anchor_equals_streaming(self, spark):
+        from benthos_spark.ops.dedup import neardup_anchor
+
+        docs = _docs_df(spark)
+        batch = {
+            r["id"]: (r["anchor"], r["is_keeper"])
+            for r in neardup_anchor(docs).collect()
+        }
+        streaming = {
+            r["doc_id"]: (r["anchor"], r["is_keeper"])
+            for r in TestStreamingNearDup()._run(spark, 3)
+        }
+        assert batch == streaming
+
+    def test_spec_stage_batch(self, spark):
+        from benthos_spark.engine.spec import run_spec
+
+        out = run_spec(
+            spark,
+            {
+                "input": {"parquet": {"path": "/root/testdata/sf0.001/documents.parquet"}},
+                "pipeline": {"processors": [{"neardup": {"k": 16, "bands": 4, "n": 2}}]},
+                "output": {"memory": {}},
+            },
+        )
+        rows = out.collect()
+        assert {c for c in out.columns} == {"id", "anchor", "is_keeper"}
+        assert len(rows) == 500
+        assert any(not r["is_keeper"] for r in rows)  # sf0.001 has dups
+
+    def test_spec_lint_accepts_neardup(self):
+        from benthos_spark.engine.spec import lint_spec
+
+        errs = lint_spec(
+            {
+                "input": {"parquet": {"path": "/x"}},
+                "pipeline": {"processors": [{"neardup": {"k": 16}}]},
+                "output": {"memory": {}},
+            }
+        )
+        assert errs == []
