@@ -913,26 +913,35 @@ class NativePipeline:
             # JSON-document output contract
             raise CompileError("native grok needs an explicit 'column'")
         pats = [p for p in (body.get("patterns") or [body.get("pattern", "")]) if p]
-        if len(pats) != 1:
-            raise CompileError("native grok compiles exactly one pattern")
+        if not pats:
+            raise CompileError("native grok needs at least one pattern")
         defs = {
             str(k): str(v)
             for k, v in (body.get("pattern_definitions") or {}).items()
         }
-        try:
-            java_pat, fields, casts = grok_to_java(pats[0], defs)
-        except ValueError as exc:
-            raise CompileError(f"grok pattern not Java-translatable: {exc}")
-        if not fields:
-            raise CompileError("native grok needs at least one named capture")
-        remove_empty = bool(body.get("remove_empty_values", True))
+        per = []  # (outer_java_regex, fields) per pattern, tried in order
+        casts: Dict[str, str] = {}
+        all_fields: List[str] = []
         sep = "\x01"
-        # \A(?s:.*?) pat (?s:.*)\z == Python re.search: the scan prefix
-        # crosses newlines, the pattern itself keeps its own flags
-        outer = r"\A(?s:.*?)(?:" + java_pat + r")(?s:.*)\z"
-        rep = sep + sep.join(f"${i}" for _, i in fields)
+        for p in pats:
+            try:
+                java_pat, fields, csts = grok_to_java(p, defs)
+            except ValueError as exc:
+                raise CompileError(f"grok pattern not Java-translatable: {exc}")
+            if not fields:
+                raise CompileError("native grok needs at least one named capture")
+            # kernel semantics: one shared cast table, later patterns win
+            casts.update(csts)
+            # \A(?s:.*?) pat (?s:.*)\z == Python re.search: the scan prefix
+            # crosses newlines, the pattern itself keeps its own flags
+            outer = r"\A(?s:.*?)(?:" + java_pat + r")(?s:.*)\z"
+            per.append((outer, fields))
+            for name, _ in fields:
+                if name not in all_fields:
+                    all_fields.append(name)
+        remove_empty = bool(body.get("remove_empty_values", True))
 
-        for name, _ in fields:
+        for name in all_fields:
             c = casts.get(name)
             _add_col(
                 cols, name,
@@ -940,22 +949,42 @@ class NativePipeline:
             )
 
         def t(df):
-            ext = F.regexp_replace(F.col(src).cast("string"), outer, rep)
-            # materialize the split ONCE as a real column so the regex runs
-            # one time per row no matter how many fields read from it
-            # (CollapseProject keeps multi-referenced expensive aliases)
-            out = df.withColumn("_grok_parts", F.split(ext, sep))
-            parts = F.col("_grok_parts")
-            # matched rows start with the sentinel -> first split element is
-            # the empty string and the array has exactly k+1 elements;
-            # unmatched rows pass through regexp_replace unchanged (1
-            # element, non-empty unless the input itself was empty). The
-            # size check also keeps every element_at in bounds (ANSI mode).
-            matched = (F.size(parts) == F.lit(len(fields) + 1)) & (
-                F.element_at(parts, 1) == ""
-            )
-            for j, (name, _) in enumerate(fields):
-                raw = F.when(matched, F.element_at(parts, j + 2))
+            out = df
+            matched = []
+            for i, (outer, fields) in enumerate(per):
+                rep = sep + sep.join(f"${g}" for _, g in fields)
+                ext = F.regexp_replace(F.col(src).cast("string"), outer, rep)
+                # materialize each split ONCE as a real column so every
+                # regex runs one time per row no matter how many fields
+                # read from it (CollapseProject keeps multi-referenced
+                # expensive aliases)
+                out = out.withColumn(f"_grok{i}", F.split(ext, sep))
+                parts = F.col(f"_grok{i}")
+                # matched rows start with the sentinel -> first split
+                # element is the empty string and the array has exactly
+                # k+1 elements; unmatched rows pass through regexp_replace
+                # unchanged (1 element, non-empty unless the input itself
+                # was empty). The size check also keeps every element_at
+                # in bounds (ANSI mode).
+                matched.append(
+                    (F.size(parts) == F.lit(len(fields) + 1))
+                    & (F.element_at(parts, 1) == "")
+                )
+            for name in all_fields:
+                # first matched pattern wins (kernel: first rx.search hit)
+                raw = None
+                for i, (_outer, fields) in enumerate(per):
+                    pos = {n: j for j, (n, _) in enumerate(fields)}
+                    val = (
+                        F.element_at(F.col(f"_grok{i}"), pos[name] + 2)
+                        if name in pos
+                        else F.lit(None).cast("string")
+                    )
+                    raw = (
+                        F.when(matched[i], val)
+                        if raw is None
+                        else raw.when(matched[i], val)
+                    )
                 if remove_empty:
                     raw = F.when(raw != "", raw)
                 cast = casts.get(name)
@@ -965,7 +994,7 @@ class NativePipeline:
                 elif cast == "float":
                     raw = raw.try_cast("double")
                 out = out.withColumn(name, raw)
-            return out.drop("_grok_parts")
+            return out.drop(*[f"_grok{i}" for i in range(len(per))])
 
         return t
 

@@ -103,11 +103,28 @@ class TestGrokNative:
         assert native[0] == {"ident": "ABC-123"}
         assert native[1] == {"ident": None}
 
-    def test_multi_pattern_falls_back(self, spark):
+    def test_multi_pattern_first_match_wins(self, spark):
+        """Kernel semantics: patterns tried in order, fields come from the
+        FIRST matching pattern only."""
+        conf = {"patterns": ["num=%{INT:a:int}", "word=%{WORD:b}"]}
+        lines = ["num=42", "word=hello", "num=1 word=x", "nothing here"]
+        kernel = frame_grok(spark, lines, conf)
+        native = native_grok(spark, lines, conf, ["a", "b"])
+        assert native[0] == {"a": 42, "b": None}
+        assert native[1] == {"a": None, "b": "hello"}
+        # line 2 matches pattern 0 first -> only 'a'
+        assert native[2] == {"a": 1, "b": None}
+        assert native[3] == {"a": None, "b": None}
+        for i in (0, 1, 2):
+            k = kernel[i]
+            for f in ("a", "b"):
+                assert native[i][f] == k.get(f), (i, f)
+        assert kernel[3] is None
+
+    def test_no_pattern_fails_compile(self, spark):
         with pytest.raises(CompileError):
             NativePipeline(
-                [{"grok": {"patterns": ["%{INT:a}", "%{WORD:b}"], "column": "x"}}],
-                {"x": "string"},
+                [{"grok": {"patterns": [], "column": "x"}}], {"x": "string"}
             )
 
     def test_every_standard_pattern_converts(self):
