@@ -233,29 +233,35 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
 def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2, **kw) -> DataFrame:
     """Near-dup pairs by simhash hamming distance; banded to avoid the full
     cross product (two halves: a pair within distance d<=2 shares at least
-    one exact half — pigeonhole)."""
+    one exact half — pigeonhole).
+
+    Plan shape: the two halves stack into LONG form first, so there is ONE
+    self-join keyed (part, bkey) whose two sides have identical canonical
+    subplans — the exchange is computed once and REUSED, instead of the
+    earlier two-joins-per-half form that recomputed the whole
+    tokenize+fingerprint aggregation four times (4 scans, 0 reuse)."""
     sh = simhash(docs, bits=bits, **kw)
     half = bits // 2
-    lo = F.col("simhash").bitwiseAND(F.lit((1 << half) - 1))
-    hi = F.shiftright(F.col("simhash"), half)
-    banded = sh.select("id", "simhash", lo.alias("b0"), hi.alias("b1"))
-    pairs = None
-    for part in ("b0", "b1"):
-        a, b = banded.alias("a"), banded.alias("b")
-        p = a.join(
-            b, (F.col(f"a.{part}") == F.col(f"b.{part}")) & (F.col("a.id") < F.col("b.id"))
-        ).select(
+    banded = sh.selectExpr(
+        "id",
+        "simhash",
+        f"stack(2, 0, simhash & {(1 << half) - 1}, "
+        f"1, shiftright(simhash, {half})) as (part, bkey)",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            ham.alias("hamming"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
-        pairs.distinct()
-        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
         .distinct()
     )
