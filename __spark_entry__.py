@@ -814,6 +814,35 @@ def _events_stream(spark, sf_dir, extra_rows=None):
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def q_salted_skew_agg(spark, sf_dir):
+    """Hot-key skew machinery with VALUE correctness (SURVEY §4 item 3):
+    two-phase salted aggregation (streaming/windows.salted_host_window_agg
+    — phase 1 keys (window, host, salt=xxhash64%16), phase 2 recombines)
+    over an events-derived pages frame with only 8 hosts (extreme skew).
+    The oracle computes the direct single-phase group-by — algebraic
+    re-aggregation must be bit-identical."""
+    from benthos_spark.streaming.windows import salted_host_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    pages_like = ev.select(
+        F.format_string(
+            "https://h%d.example.com/%d",
+            (F.col("user_id") % 8).cast("int"),
+            F.col("event_id").cast("int"),
+        ).alias("url"),
+        F.col("ts").cast("timestamp").alias("warc_ts"),
+        F.col("props").alias("text"),
+    )
+    out = salted_host_window_agg(pages_like, size="1 hour", watermark=None)
+    return out.select(
+        F.unix_timestamp("win_start").alias("win_start"),
+        "url_host",
+        "n_pages",
+        "total_chars",
+        F.unix_timestamp("max_ts").alias("max_ts_epoch"),
+    )
+
+
 def q_streaming_neardup(spark, sf_dir):
     """Streaming MinHash-LSH near-dup dedupe end-to-end (streaming/
     neardup.py): documents fed as TWO ordered parquet files (cross-batch
@@ -1190,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "streaming_funnel": q_streaming_funnel,
         "streaming_neardup": q_streaming_neardup,
+        "salted_skew_agg": q_salted_skew_agg,
         "sessionize": q_sessionize,
         "jmespath_extract": q_jmespath_extract,
         "json_schema_validate": q_json_schema_validate,
@@ -1331,6 +1361,14 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*) as n
         from events, unnest([0, 1]) u(k)
         group by 1, 2
+    """
+    sql["salted_skew_agg"] = """
+        select epoch(date_trunc('hour', ts))::BIGINT as win_start,
+               'h' || (user_id % 8)::VARCHAR || '.example.com' as url_host,
+               count(*)::BIGINT as n_pages,
+               sum(length(props))::BIGINT as total_chars,
+               (epoch_us(max(ts)) // 1000000)::BIGINT as max_ts_epoch
+        from events group by 1, 2
     """
     sql["window_session"] = _SQL_SESSION
     sql["window_keep_first"] = """
