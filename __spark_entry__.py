@@ -1201,8 +1201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_session": q_window_session,
         "window_keep_first": q_window_keep_first,
         "switch_route": q_switch_route,
-        "split_rebatch": q_split_rebatch,
-        "archive_lines": q_archive_lines,
         "avro_roundtrip": q_avro_roundtrip,
         "awk_text_stats": q_awk_text_stats,
         "grok_apache": q_grok_apache,
@@ -1237,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "dedup_clusters": q_dedup_clusters,
         # --- tail: long-stable since r1, green in every driver round ---
+        "split_rebatch": q_split_rebatch,
+        "archive_lines": q_archive_lines,
         "json_extract": q_json_extract,
         "text_codecs": q_text_codecs,
         "try_catch_error_column": q_try_catch_error_column,
