@@ -166,3 +166,49 @@ class TestBatchTwin:
             }
         )
         assert errs == []
+
+
+class TestCheckpointRestart:
+    def test_bucket_state_survives_restart(self, spark):
+        """Kill-and-resume: file 0 drains in run 1; file 1 arrives while
+        the query is down; run 2 restarts from the SAME checkpoint. Dup
+        pairs spanning the restart must still anchor — the bucket min-ids
+        live in the state store, not the JVM."""
+        import glob
+
+        docs = _docs_df(spark)
+        src = tempfile.mkdtemp(prefix="bs_ndr_src_")
+        sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_ndr_sink_"))
+        ckpt = tempfile.mkdtemp(prefix="bs_ndr_ckpt_")
+
+        def stage(i, pred):
+            tmp = tempfile.mkdtemp(prefix="bs_ndr_part_")
+            docs.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = sorted(glob.glob(tmp + "/part-*.parquet"))[0]
+            shutil.copy(part, f"{src}/{i}_docs.parquet")
+
+        def drain():
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = streaming_neardup(
+                minhash_band_rows(stream), watermark="1 hour"
+            )
+            run_to_sink(out, sink, ckpt)
+
+        stage(0, F.col("doc_id") < 3)
+        drain()                      # run 1: docs 1, 2
+        stage(1, F.col("doc_id") >= 3)
+        drain()                      # RESTART from checkpoint: docs 3..7
+        rows = {
+            r["doc_id"]: (r["anchor"], r["is_keeper"])
+            for r in finalize_neardup(sink.read(spark), docs).collect()
+        }
+        # doc 4 (arrived after restart) must anchor to doc 1 (state from
+        # run 1); doc 6 anchors to 3 within run 2
+        assert rows[4] == (1, False)
+        assert rows[2] == (1, False)
+        assert rows[6] == (3, False)
+        assert rows[1] == (None, True) and rows[7] == (None, True)
