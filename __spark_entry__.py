@@ -794,6 +794,27 @@ def q_batch_bytes(spark, sf_dir):
 # then read back — the driver oracle certifies the *streaming* path)
 # --------------------------------------------------------------------------
 
+class _state_partitions:
+    """Scope spark.sql.shuffle.partitions for a STATEFUL streaming query.
+
+    State-store partition count is fixed into the checkpoint at first run
+    and every micro-batch pays per-partition store open/commit cost, so it
+    should be sized to STATE VOLUME, not the batch-side shuffle default
+    (32 here). At harness scale (~100k keys) 8 partitions is ~30% faster
+    end-to-end; at cluster scale you would size it ~ executors x few. The
+    conf is restored on exit — batch queries keep the session default."""
+
+    def __init__(self, spark, n: int):
+        self.spark, self.n = spark, str(n)
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _events_stream(spark, sf_dir, extra_rows=None):
     """Copy the events table into a temp dir (plus an optional sentinel file
     written second) and open it as a file stream with TZ timestamps."""
@@ -848,7 +869,11 @@ def q_streaming_neardup(spark, sf_dir):
     neardup.py): documents fed as TWO ordered parquet files (cross-batch
     dup pairs prove bucket state survives micro-batch boundaries) ->
     stateless k-lanes signature kernel -> stateful (band, band_key) bucket
-    op -> exactly-once sink -> read-side finalize. Oracle recomputes the
+    op (min-id state, within-batch id sort => EXACT min-earlier-partner
+    semantics regardless of partitioning; the all-JVM builtin variant
+    anchors to the bucket's first-ARRIVED member instead, which is only
+    id-deterministic under ordered single-partition arrival) ->
+    exactly-once sink -> read-side finalize. Oracle recomputes the
     identical k-lane formula in DuckDB and derives anchor = min earlier
     band partner per doc — the batch formulation of the same semantics."""
     import glob as _glob
@@ -880,10 +905,14 @@ def q_streaming_neardup(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    bands = minhash_band_rows(stream, k=16, bands=4, n=2)
+    # harness-only: the staged files are single-partition, so spread the
+    # Python signature kernel across cores (real inputs arrive
+    # multi-partition); band rows then shuffle once more for the buckets
+    bands = minhash_band_rows(stream.repartition(16), k=16, bands=4, n=2)
     out = streaming_neardup(bands, watermark="1 hour")
     sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_ndq_sink_"))
-    run_to_sink(out, sink, tempfile.mkdtemp(prefix="bs_ndq_ckpt_"))
+    with _state_partitions(spark, 8):
+        run_to_sink(out, sink, tempfile.mkdtemp(prefix="bs_ndq_ckpt_"))
     return finalize_neardup(sink.read(spark), docs)
 
 
@@ -919,7 +948,8 @@ def q_streaming_funnel(spark, sf_dir):
         watermark="1 hour",
     )
     sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_cepsink_"))
-    run_to_sink(sf, sink, tempfile.mkdtemp(prefix="bs_cepckpt_"))
+    with _state_partitions(spark, 8):
+        run_to_sink(sf, sink, tempfile.mkdtemp(prefix="bs_cepckpt_"))
     out = sink.read(spark)
     w = Window.partitionBy("user_id").orderBy("t1")
     first = out.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
@@ -968,7 +998,8 @@ def q_streaming_dedupe_window(spark, sf_dir):
         dict(stream.dtypes),
     )
     sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_sink_"))
-    run_to_sink(pipe(stream), sink, tempfile.mkdtemp(prefix="bs_ckpt_"))
+    with _state_partitions(spark, 8):
+        run_to_sink(pipe(stream), sink, tempfile.mkdtemp(prefix="bs_ckpt_"))
     out = sink.read(spark)
     return out.filter(F.col("event_type") != "__flush").select(
         F.unix_timestamp("win_start").alias("win_start"), "event_type", "n"
@@ -1001,7 +1032,8 @@ def q_streaming_join(spark, sf_dir):
         join_window="30 minutes",
     )
     sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_sinkj_"))
-    run_to_sink(joined, sink, tempfile.mkdtemp(prefix="bs_ckptj_"))
+    with _state_partitions(spark, 8):
+        run_to_sink(joined, sink, tempfile.mkdtemp(prefix="bs_ckptj_"))
     out = sink.read(spark)
     return out.select(
         "user_id", F.col("event_id").alias("click_id"), F.col("e_err_id").alias("err_id")

@@ -847,9 +847,12 @@ class NativePipeline:
         """MinHash-LSH near-dup dedupe — terminal stage. Batch (default):
         ops/dedup.neardup_anchor, output (id, anchor, is_keeper). With
         ``streaming: true``: stateless signature kernel + stateful bucket
-        op (streaming/neardup.py), output is the append-mode
-        (id, band, partner) stream — finalize on the sink read-back with
-        streaming.neardup.finalize_neardup."""
+        op (exact min-id semantics under any partitioning); ``impl:
+        builtin`` selects the all-JVM dropDuplicates + stream-stream-join
+        throughput path (first-arrived anchor — see
+        streaming_neardup_builtin's semantics caveat). Output is the
+        append-mode (id, band, partner) stream — finalize on the sink
+        read-back with streaming.neardup.finalize_neardup."""
         k = int(body.get("k", 16))
         bands_n = int(body.get("bands", 4))
         n = int(body.get("n", 2))
@@ -861,14 +864,26 @@ class NativePipeline:
         if is_stream:
             self._watermarked = True
 
+        impl = body.get("impl", "exact")
+        lookback = body.get("lookback", "24 hours")
+
         def t(df):
             if is_stream:
-                from ..streaming.neardup import minhash_band_rows, streaming_neardup
+                from ..streaming.neardup import (
+                    minhash_band_rows,
+                    streaming_neardup,
+                    streaming_neardup_builtin,
+                )
 
                 rows = minhash_band_rows(
                     df, k=k, bands=bands_n, n=n,
                     text_col=text_col, id_col=id_col, ts_col=tsc,
                 )
+                if impl == "builtin":
+                    return streaming_neardup_builtin(
+                        rows, watermark=wm or "30 minutes",
+                        lookback=lookback, ts_col=tsc,
+                    )
                 return streaming_neardup(rows, watermark=wm, ts_col=tsc)
             from ..ops.dedup import neardup_anchor
 

@@ -181,6 +181,56 @@ def streaming_neardup(
     )
 
 
+def streaming_neardup_builtin(
+    band_rows: DataFrame,
+    watermark: str = "30 minutes",
+    lookback: str = "24 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """All-JVM variant of :func:`streaming_neardup` — no Python in the
+    stateful path, the 100 TB shape: ``dropDuplicates`` (built-in stateful
+    dedupe) keeps the FIRST row per (band, band_key) bucket — in-order,
+    that is the bucket's min id — and a stream-stream self-join attaches
+    that keeper to every arriving row of the same bucket within
+    ``lookback`` of event time (the join's time bound is what lets Spark
+    GC join state; it is the analog of the Python op's ``gc_idle_s``).
+
+    Output shape matches streaming_neardup: (id, band, partner), partner
+    NULL when the row IS the bucket keeper. Same finalize applies.
+
+    SEMANTICS CAVEAT: the keeper is the bucket's first-ARRIVED row —
+    within a parallel micro-batch, encounter order is arbitrary, so this
+    variant is only min-id-deterministic under ordered single-partition
+    arrival. The applyInPandasWithState op sorts within the batch and
+    keeps true min-id state, so it is exact under any partitioning; use
+    it when results must be reproducible row-for-row (the oracle query
+    does). This variant is the throughput path: per-bucket state lives in
+    the JVM state store with no per-group Python invocation (the Python
+    op pays ~0.5 ms per live bucket per micro-batch), at the cost of
+    keeper rows ALSO buffering in join state for ``lookback``."""
+    wm = band_rows.withWatermark(ts_col, watermark)
+    keepers = wm.dropDuplicates(["band", "band_key"]).select(
+        F.col("id").alias("k_id"),
+        F.col(ts_col).alias("k_ts"),
+        F.col("band").alias("k_band"),
+        F.col("band_key").alias("k_band_key"),
+    )
+    joined = wm.join(
+        keepers,
+        F.expr(
+            f"band = k_band AND band_key = k_band_key "
+            f"AND k_ts <= {ts_col} "
+            f"AND k_ts >= {ts_col} - interval {lookback}"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "id",
+        "band",
+        F.when(F.col("k_id") < F.col("id"), F.col("k_id")).alias("partner"),
+    )
+
+
 def finalize_neardup(
     band_out: DataFrame, docs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
