@@ -104,3 +104,42 @@ class TestSparkFeaturizer:
         assert out["text"]["format"] is None and out["text"]["width"] is None
         assert out["text"]["n_bytes"] == len(b"just some text payload")
         assert all(r["decoder"] == "headers" for r in out.values())
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    class TestRoundtripProperties:
+        @given(
+            w=st.integers(min_value=1, max_value=65535),
+            h=st.integers(min_value=1, max_value=65535),
+        )
+        @settings(max_examples=120, deadline=None)
+        def test_fixed_width_formats_roundtrip(self, w, h):
+            for maker, fmt in [
+                (make_png, "png"),
+                (make_jpeg, "jpeg"),
+                (make_gif, "gif"),
+                (make_bmp, "bmp"),
+            ]:
+                assert parse_dimensions(maker(w, h)) == (fmt, w, h), (fmt, w, h)
+
+        @given(
+            w=st.integers(min_value=1, max_value=16383),
+            h=st.integers(min_value=1, max_value=16383),
+        )
+        @settings(max_examples=120, deadline=None)
+        def test_webp_14bit_roundtrip(self, w, h):
+            assert parse_dimensions(make_webp_vp8(w, h)) == ("webp", w, h)
+            assert parse_dimensions(make_webp_vp8l(w, h)) == ("webp", w, h)
+
+        @given(data=st.binary(min_size=0, max_size=64))
+        @settings(max_examples=200, deadline=None)
+        def test_arbitrary_bytes_never_crash(self, data):
+            parse_dimensions(data)  # None or a parse — never an exception
