@@ -210,3 +210,36 @@ class TestFunnelWatermarkReuse:
         # structurally: the withWatermark call is guarded
         src = inspect.getsource(streaming_funnel)
         assert "if watermark is not None" in src
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _ENTITYISH = st.lists(
+        st.sampled_from(
+            list("abc<>&;#xX0129 '\"\n")
+            + ["&amp;", "&nbsp;", "&#65;", "&eacute;", "<b>", "</b>"]
+        ),
+        min_size=0,
+        max_size=40,
+    ).map("".join)
+
+    class TestStripHtmlPathsAgree:
+        @given(s=_ENTITYISH)
+        @settings(max_examples=300, deadline=None)
+        def test_series_path_equals_scalar_path(self, s):
+            """The vectorized pandas path (compiled surface) and the scalar
+            helper (interpreter/processor surfaces) must agree byte-for-byte
+            on adversarial entity-ish strings."""
+            import pandas as pd
+
+            from benthos_spark.bloblang.htmlstrip import (
+                strip_html_series,
+                strip_html_str,
+            )
+
+            got = strip_html_series(pd.Series([s]))[0]
+            assert got == strip_html_str(s), repr(s)
+
+except ImportError:  # pragma: no cover
+    pass
