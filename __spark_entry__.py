@@ -1059,7 +1059,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def q_dedup_minhash_lsh(spark, sf_dir):
     from benthos_spark.ops.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=16, bands=4, n=2)
+    # harness-only: the sf* documents parquet is a single partition; spread
+    # the Arrow signature kernel across cores (real scans arrive
+    # multi-partition)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    return minhash_lsh_pairs(docs, k=16, bands=4, n=2)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1139,7 +1143,9 @@ def q_dedup_clusters(spark, sf_dir):
     from benthos_spark.ops.graph import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, k=16, bands=4, n=2)
+    pairs = minhash_lsh_pairs(
+        docs.select("doc_id", "text").repartition(32), k=16, bands=4, n=2
+    )
     return dedup_clusters(docs, pairs)
 
 

@@ -63,6 +63,40 @@ def exploded_shingles(df, n: int, text_col: str = "text", id_col: str = "doc_id"
     return toks.select("id", F.explode(shingles_of(F.col("__toks"), n)).alias("s"))
 
 
+MINHASH_LANES = 4  # 28-bit lanes (7 hex digits) per md5 digest
+
+
+def py_minhash_signature(text, k: int, n: int) -> list | None:
+    """Pure-Python k-lane minhash signature of one document — the EXACT
+    formula of :func:`benthos_spark.ops.dedup.minhash_wide` (and its DuckDB
+    oracle): hash h = int of 7 hex digits at offset 7*(h%4) of
+    md5('(h//4)|shingle'), min over distinct n-gram shingles of whitespace
+    tokens of lower/non-alnum-collapsed text. None for docs with < n
+    tokens. Used by Arrow kernels (hashlib's C md5 beats interpreted
+    collection lambdas ~6x per span)."""
+    import hashlib
+    import re as _re2
+
+    norm = _re2.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+    toks = norm.split(" ") if norm else []
+    if len(toks) < n:
+        return None
+    shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    n_salts = (k + MINHASH_LANES - 1) // MINHASH_LANES
+    sig = [None] * k
+    for s in shingles:
+        digests = [
+            hashlib.md5(f"{salt}|{s}".encode()).hexdigest()
+            for salt in range(n_salts)
+        ]
+        for h in range(k):
+            salt, lane = divmod(h, MINHASH_LANES)
+            v = int(digests[salt][7 * lane : 7 * lane + 7], 16)
+            if sig[h] is None or v < sig[h]:
+                sig[h] = v
+    return sig
+
+
 def md5_60bit(col) -> Column:
     """First 15 hex digits of md5 as a 60-bit LONG (identical in DuckDB via
     the same polynomial over hex digits)."""

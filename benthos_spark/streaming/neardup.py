@@ -31,17 +31,13 @@ never shuffle (only id+band rows do).
 
 from __future__ import annotations
 
-import hashlib
-import re
 from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..ops.dedup import MINHASH_LANES
-
-_NORM_RE = re.compile(r"[^a-z0-9]+")
+from ..ops.textprep import py_minhash_signature
 
 BAND_SCHEMA = T.StructType(
     [
@@ -63,29 +59,8 @@ OUT_SCHEMA = T.StructType(
 )
 
 
-def _signature(text: str, k: int, n: int) -> list | None:
-    """k-lane minhash signature of one document — the EXACT formula of
-    ops.dedup.minhash_wide: hash h = int of 7 hex digits at offset
-    7*(h%4) of md5('(h//4)|shingle'), min over distinct n-gram shingles
-    of whitespace tokens of lower/non-alnum-collapsed text."""
-    norm = _NORM_RE.sub(" ", (text or "").lower()).strip()
-    toks = norm.split(" ") if norm else []
-    if len(toks) < n:
-        return None
-    shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-    n_salts = (k + MINHASH_LANES - 1) // MINHASH_LANES
-    sig = [None] * k
-    for s in shingles:
-        digests = [
-            hashlib.md5(f"{salt}|{s}".encode()).hexdigest()
-            for salt in range(n_salts)
-        ]
-        for h in range(k):
-            salt, lane = divmod(h, MINHASH_LANES)
-            v = int(digests[salt][7 * lane : 7 * lane + 7], 16)
-            if sig[h] is None or v < sig[h]:
-                sig[h] = v
-    return sig
+# the one shared pure-Python signature formula (ops/textprep.py)
+_signature = py_minhash_signature
 
 
 def minhash_band_rows(

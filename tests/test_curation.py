@@ -74,3 +74,13 @@ class TestStratifiedSample:
             ._jdf.queryExecution().executedPlan().toString() \
             .split("== Initial Plan ==")[0]
         assert "WindowGroupLimit" in plan
+
+
+class TestMinhashImplEquivalence:
+    def test_arrow_equals_sql_minhash_wide(self, spark):
+        from benthos_spark.ops.dedup import minhash_wide
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = {tuple(r) for r in minhash_wide(docs, k=16, n=2, impl="arrow").collect()}
+        b = {tuple(r) for r in minhash_wide(docs, k=16, n=2, impl="sql").collect()}
+        assert a == b and len(a) > 0

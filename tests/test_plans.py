@@ -60,10 +60,14 @@ class TestPlanShape:
         docs = spark.createDataFrame(
             [(0, "a b c d e"), (1, "b c d e f")], "doc_id long, text string"
         )
-        plan = plan_of(minhash_signatures(docs, k=8, n=2))
+        # the zero-Python Catalyst path (impl='sql'); the default Arrow
+        # kernel path has no aggregation at all
+        plan = plan_of(minhash_signatures(docs, k=8, n=2, impl="sql"))
         assert "SortAggregate" not in plan
         # one partial+final hash agg pair, not an 8-way explode
         assert plan.count("Generate ") <= 2, plan
+        arrow_plan = plan_of(minhash_signatures(docs, k=8, n=2))
+        assert "Exchange" not in arrow_plan.split("Generate")[0], arrow_plan
 
 
 @pytest.mark.spark
