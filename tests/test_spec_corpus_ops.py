@@ -242,9 +242,43 @@ class TestSpecCorpusOps:
         assert got[0]["duration_s"] == 300
 
     def test_example_specs_lint_clean(self):
-        for name in ("corpus_curation", "cep_funnel"):
+        for name in ("corpus_curation", "cep_funnel", "streaming_neardup"):
             with open(f"/root/repo/examples/{name}.yaml") as f:
                 assert lint_spec(f.read()) == [], name
+
+    def test_example_streaming_neardup_runs(self, spark, tmp_path):
+        import glob
+        import shutil
+
+        import yaml
+
+        from benthos_spark.streaming.neardup import finalize_neardup
+        from benthos_spark.streaming.sink import IdempotentSink
+
+        with open("/root/repo/examples/streaming_neardup.yaml") as f:
+            spec = yaml.safe_load(f)
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "The quick brown fox JUMPS over the lazy dog today!!"),
+             (3, "a completely different document about yaml pipelines")],
+            "doc_id long, text string",
+        ).withColumn("ts", F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")))
+        src = str(tmp_path / "in")
+        (tmp_path / "in").mkdir()
+        stage = str(tmp_path / "stage")
+        docs.coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(sorted(glob.glob(stage + "/part-*.parquet"))[0],
+                    src + "/0_docs.parquet")
+        spec["input"]["stream"]["path"] = src
+        spec["output"]["sink"]["path"] = str(tmp_path / "out")
+        spec["output"]["sink"]["checkpoint"] = str(tmp_path / "ckpt")
+        run_spec(spark, spec)
+        out = IdempotentSink(str(tmp_path / "out")).read(spark)
+        rows = {r["doc_id"]: (r["anchor"], r["is_keeper"])
+                for r in finalize_neardup(out, docs).collect()}
+        assert rows[1] == (None, True)
+        assert rows[2] == (1, False)
+        assert rows[3] == (None, True)
 
     def test_example_corpus_curation_runs(self, spark, tmp_path):
         import yaml
