@@ -84,3 +84,25 @@ class TestMinhashImplEquivalence:
         a = {tuple(r) for r in minhash_wide(docs, k=16, n=2, impl="arrow").collect()}
         b = {tuple(r) for r in minhash_wide(docs, k=16, n=2, impl="sql").collect()}
         assert a == b and len(a) > 0
+
+    def test_arrow_equals_sql_on_adversarial_text(self, spark):
+        """Unicode case-mapping and whitespace edge cases must not split
+        the Arrow (Python str ops) and Catalyst (Java/UTF8String) paths —
+        the [^a-z0-9] normalization collapses everything non-ASCII, and
+        lower() full-casemaps identically on both engines (probed:
+        final sigma, Turkish I-dot, sharp s, titlecase digraphs)."""
+        from benthos_spark.ops.dedup import minhash_wide
+
+        rows = [
+            (1, "ΑΣ İstanbul STRASSE ß some ascii words here"),
+            (2, "tabs\tand\nnewlines  double  spaces trailing "),
+            (3, "ONLY-PUNCT!!! ??? ..."),
+            (4, ""),
+            (5, None),
+            (6, "ǅungla ΣΙΣΥΦΟΣ mixed with regular tokens"),
+            (7, "a b"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {tuple(r) for r in minhash_wide(docs, k=16, n=2, impl="arrow").collect()}
+        b = {tuple(r) for r in minhash_wide(docs, k=16, n=2, impl="sql").collect()}
+        assert a == b
