@@ -835,6 +835,41 @@ def _events_stream(spark, sf_dir, extra_rows=None):
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def q_streaming_asof(spark, sf_dir):
+    """STREAMING as-of enrichment (streaming/asof.py): the click stream
+    picks up each user's most recent prior-or-equal purchase from a
+    broadcast static dimension via per-Arrow-batch merge_asof — zero
+    stream-side shuffle — drained through the exactly-once sink. Oracle is
+    DuckDB's NATIVE ASOF JOIN (same SQL as the batch asof_join query): the
+    streaming kernel, the batch union+window composition, and DuckDB are
+    three independent implementations of one semantics."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from benthos_spark.streaming.asof import asof_enrich_static
+    from benthos_spark.streaming.sink import IdempotentSink, run_to_sink
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    src = tempfile.mkdtemp(prefix="bs_saq_src_")
+    tmp = tempfile.mkdtemp(prefix="bs_saq_part_")
+    clicks.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.copy(
+        sorted(_glob.glob(tmp + "/part-*.parquet"))[0],
+        os.path.join(src, "0_clicks.parquet"),
+    )
+    stream = spark.readStream.schema(clicks.schema).parquet(src)
+    enriched = asof_enrich_static(
+        stream, purchases, on="ts", by="user_id", right_cols=("value",)
+    )
+    sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_saq_sink_"))
+    with _state_partitions(spark, 8):
+        run_to_sink(enriched, sink, tempfile.mkdtemp(prefix="bs_saq_ckpt_"))
+    return sink.read(spark).select("event_id", "user_id", "ts", "r_value", "r_ts")
+
+
 def q_salted_skew_agg(spark, sf_dir):
     """Hot-key skew machinery with VALUE correctness (SURVEY §4 item 3):
     two-phase salted aggregation (streaming/windows.salted_host_window_agg
@@ -1237,7 +1272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
-        "window_keep_first": q_window_keep_first,
         "switch_route": q_switch_route,
         "avro_roundtrip": q_avro_roundtrip,
         "awk_text_stats": q_awk_text_stats,
@@ -1255,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "streaming_funnel": q_streaming_funnel,
         "streaming_neardup": q_streaming_neardup,
+        "streaming_asof": q_streaming_asof,
         "salted_skew_agg": q_salted_skew_agg,
         "sessionize": q_sessionize,
         "jmespath_extract": q_jmespath_extract,
@@ -1273,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "dedup_clusters": q_dedup_clusters,
         # --- tail: long-stable since r1, green in every driver round ---
+        "window_keep_first": q_window_keep_first,
         "split_rebatch": q_split_rebatch,
         "archive_lines": q_archive_lines,
         "json_extract": q_json_extract,
@@ -1717,6 +1753,9 @@ def oracle_sql() -> dict[str, str]:
               where event_type = 'purchase') r
           on l.user_id = r.user_id and l.ts >= r.ts
     """
+    # streaming as-of: same native ASOF JOIN oracle as the batch op — the
+    # streaming merge_asof kernel must land on identical rows
+    sql["streaming_asof"] = sql["asof_join"]
     sql["jmespath_extract"] = """
         select event_id, json_extract_string(props, '$.k')::INT as k2,
                json_extract_string(props, '$.k')::INT > 5 as big
