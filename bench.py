@@ -87,7 +87,9 @@ HEADLINE = [
     "group_quantiles",
     "funnel",
     "duplicate_spans",
+    "salted_skew_agg",
     "streaming_dedupe_window",
+    "streaming_neardup",
 ]
 
 
