@@ -622,6 +622,110 @@ class AvroProc(Processor):
         return [out]
 
 
+class SubprocessProc(Processor):
+    """subprocess processor (lib/processor/subprocess.go): keep one child
+    process alive per executor worker and, for each message part, pipe each
+    LINE of its content to the child's stdin followed by a newline; a line
+    returned over stdout replaces that line, a line over stderr flags the
+    part as failed and keeps the original line (subprocess.go Send /
+    ProcessMessage semantics, incl. the preserved trailing empty line and
+    restart-on-exit). The child must flush per line (the reference
+    documents the same requirement).
+
+    Spark shape: the child lives for the lifetime of the Python worker (one
+    per core, like the reference's one-per-pipeline), so per-line cost is a
+    pipe round-trip, not a fork."""
+
+    name = "subprocess"
+
+    def __init__(self, conf: Dict[str, Any]):
+        self.cmd = [str(conf.get("name", "cat"))] + [
+            str(a) for a in (conf.get("args") or [])
+        ]
+        self.parts = [int(p) for p in (conf.get("parts") or [])]
+        self.max_buffer = int(conf.get("max_buffer", 65536))
+        self._proc = None
+        self._out_buf = b""
+        self._err_buf = b""
+
+    # -- child lifecycle -------------------------------------------------
+    def _ensure(self):
+        import subprocess as sp
+
+        if self._proc is None or self._proc.poll() is not None:
+            self._proc = sp.Popen(
+                self.cmd, stdin=sp.PIPE, stdout=sp.PIPE, stderr=sp.PIPE,
+                bufsize=0,
+            )
+            self._out_buf = b""
+            self._err_buf = b""
+
+    def _read_line(self, timeout: float = 10.0) -> tuple:
+        """(stdout_line | None, stderr_line | None) — whichever pipe
+        produces a full line first (select-based, no deadlock)."""
+        import os
+        import select
+        import time as _time
+
+        p = self._proc
+        deadline = _time.monotonic() + timeout
+        while True:
+            if b"\n" in self._out_buf:
+                line, self._out_buf = self._out_buf.split(b"\n", 1)
+                return line, None
+            if b"\n" in self._err_buf:
+                line, self._err_buf = self._err_buf.split(b"\n", 1)
+                return None, line
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                raise TimeoutError("subprocess response timeout")
+            rl, _, _ = select.select(
+                [p.stdout, p.stderr], [], [], min(remaining, 1.0)
+            )
+            for f in rl:
+                chunk = os.read(f.fileno(), self.max_buffer)
+                if not chunk:
+                    raise IOError("subprocess closed its pipes")
+                if f is p.stdout:
+                    self._out_buf += chunk
+                else:
+                    self._err_buf += chunk
+
+    def _send(self, line: bytes) -> bytes:
+        self._ensure()
+        self._proc.stdin.write(line + b"\n")
+        self._proc.stdin.flush()
+        out, err = self._read_line()
+        if err is not None:
+            raise RuntimeError(err.decode("utf-8", errors="replace"))
+        return out
+
+    # -- processor -------------------------------------------------------
+    def process(self, batch: Batch, env) -> List[Batch]:
+        out: Batch = []
+        targets = self.parts or range(len(batch))
+        targets = {i % len(batch) for i in targets} if batch else set()
+        for i, part in enumerate(batch):
+            if i not in targets:
+                out.append(part)
+                continue
+            pieces = part.content.split(b"\n")
+            results = []
+            failed = None
+            for j, piece in enumerate(pieces):
+                if piece == b"" and len(pieces) > 1 and j == len(pieces) - 1:
+                    results.append(b"")  # preserved trailing empty line
+                    continue
+                try:
+                    results.append(self._send(piece))
+                except Exception as exc:  # stderr line / timeout / death
+                    failed = str(exc)
+                    results.append(piece)  # original line continues
+            new = Part(b"\n".join(results), dict(part.meta))
+            out.append(flag_err(new, failed) if failed else new)
+        return [out]
+
+
 _REGISTRY.update(
     {
         "process_map": ProcessMapProc,
@@ -633,5 +737,6 @@ _REGISTRY.update(
         "jmespath": JMESPathProc,
         "json_schema": JSONSchemaProc,
         "avro": AvroProc,
+        "subprocess": SubprocessProc,
     }
 )

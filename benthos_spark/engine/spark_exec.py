@@ -99,7 +99,7 @@ ROW_LOCAL_PROCESSORS = frozenset(
     {
         "avro", "encode", "decode", "compress", "decompress", "hash",
         "json", "text", "number", "metadata", "jmespath", "json_schema",
-        "xml", "parse_log", "grok", "awk", "noop", "log",
+        "xml", "parse_log", "grok", "awk", "noop", "log", "subprocess",
     }
 )
 
