@@ -143,15 +143,22 @@ class Stream:
             return None
         if kind == "kafka":
             # output kafka (lib/output/writer/kafka.go): content -> value,
-            # optional key column -> kafka partitioner input. Connector jar
-            # required on a real cluster (--packages); offsets exactly-once
-            # via checkpoint + broker idempotence.
+            # key/partitioner mapped via streaming/kafka_out.py (murmur2 =
+            # producer default, fnv1a/round_robin/random need
+            # partition_count). Connector jar required on a real cluster
+            # (--packages); offsets exactly-once via checkpoint + broker
+            # idempotence.
+            from ..streaming.kafka_out import kafka_output_frame
+
+            frame = kafka_output_frame(
+                self.df,
+                key=body.get("key"),
+                value_column=body.get("value_column", "content"),
+                partitioner=body.get("partitioner"),
+                partition_count=body.get("partition_count"),
+            )
             w = (
-                self.df.selectExpr(
-                    f"CAST({body.get('key', 'NULL')} AS STRING) AS key",
-                    f"CAST({body.get('value_column', 'content')} AS STRING) AS value",
-                )
-                .writeStream.format("kafka")
+                frame.writeStream.format("kafka")
                 .option("kafka.bootstrap.servers", ",".join(body.get("addresses", [])))
                 .option("topic", body.get("topic", ""))
                 .option("checkpointLocation", body.get("checkpoint", "/tmp/bs_kafka_ckpt"))
