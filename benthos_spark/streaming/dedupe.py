@@ -24,15 +24,34 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+_FIXED_WIDTH = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "timestamp_ntz", "boolean",
+)
+
+
 def dedupe_exact(df: DataFrame, keys: List[str], order_col: str = "seq") -> DataFrame:
     """Batch dedupe keeping the first-seen row per key (dedupe.go drop-batch
     semantics -> keep winner).
 
-    Implemented as a hash aggregation with ``min_by`` rather than a
-    row_number window: partial aggregation collapses duplicate keys map-side
-    before the shuffle and avoids the per-partition sort — at 100 TB the
-    difference is a hash agg vs a full sort of the table."""
+    Plan shape: with a fixed-width ``order_col`` this is a pure HASH path —
+    ``min(order_col)`` per key (map-side partial combine, fixed-width agg
+    buffer) plus one equi-join back to the winning rows. ``min_by(struct)``
+    would silently become a SortAggregate (var-length buffers are not
+    hash-aggregatable): at 100 TB that is a full sort of the table vs a
+    hash agg. A var-length order column falls back to min_by.
+
+    ``order_col`` should be unique per key (seq / event ids are); tied
+    winners would each survive the join."""
     if order_col in df.columns:
+        if dict(df.dtypes).get(order_col) in _FIXED_WIDTH:
+            winners = df.groupBy(*keys).agg(F.min(order_col).alias("__w"))
+            return (
+                df.join(winners, on=list(keys))
+                .where(F.col(order_col) == F.col("__w"))
+                .drop("__w")
+                .select(*df.columns)
+            )
         rest = [c for c in df.columns if c not in keys]
         agg = df.groupBy(*keys).agg(
             F.min_by(F.struct(*rest), F.col(order_col)).alias("__first")

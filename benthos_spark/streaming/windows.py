@@ -119,13 +119,44 @@ def keep_first_agg(
 ) -> DataFrame:
     """First row per (window, keys) by (ts_col, *tiebreak) — the reference's
     ``batch_index() > 0 => deleted()`` idiom (config/test/bloblang_windowed.yaml)
-    generalized to event-time windows. Uses ``min_by`` (an algebraic aggregate
-    with map-side partial combine) rather than a row_number window — no
-    per-partition sort, works in streaming aggregation where row_number does
-    not."""
+    generalized to event-time windows.
+
+    Plan shape: in BATCH mode with at most one fixed-width tiebreak column
+    this runs as a pure-hash cascade — min(ts) per (window, keys), join to
+    the tied rows, optionally min(tiebreak) + join again. No SortAggregate
+    (min_by's struct buffer is not hash-aggregatable — at 100 TB that is a
+    full sort of the table), no row_number window. Streaming mode (join
+    after aggregation is another stateful op) and var-length tiebreaks keep
+    the ``min_by`` form, whose per-micro-batch sort is bounded by batch
+    size. The (ts, tiebreak) pair should be unique per (window, keys);
+    tied winners would each survive the join."""
     df = _with_watermark(df, ts_col, watermark)
     payload = list(payload or [c for c in df.columns if c not in keys])
-    order = F.struct(ts_col, *(tiebreak or []))
+    fixed = (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "date", "timestamp", "timestamp_ntz", "boolean",
+    )
+    tb = list(tiebreak or [])
+    hash_ok = (
+        not df.isStreaming
+        and len(tb) <= 1
+        and all(dict(df.dtypes).get(c) in fixed for c in tb)
+    )
+    if hash_ok:
+        base = df.withColumn("__ws", F.window(ts_col, size)["start"])
+        g1 = base.groupBy("__ws", *keys).agg(F.min(ts_col).alias("__mts"))
+        t1 = base.join(g1, on=["__ws", *keys]).where(
+            F.col(ts_col) == F.col("__mts")
+        )
+        if tb:
+            g2 = t1.groupBy("__ws", *keys).agg(F.min(tb[0]).alias("__mtb"))
+            t1 = t1.join(g2, on=["__ws", *keys]).where(
+                F.col(tb[0]) == F.col("__mtb")
+            )
+        return t1.select(
+            F.col("__ws").alias("win_start"), *keys, *payload
+        )
+    order = F.struct(ts_col, *tb)
     out = df.groupBy(F.window(ts_col, size).alias("win"), *keys).agg(
         F.min_by(F.struct(*payload), order).alias("__first")
     )
