@@ -18,6 +18,9 @@ RULES = (
     "BroadcastNestedLoopJoin",
     "SortAggregate",
     "Exchange SinglePartition",
+    # row-at-a-time Python UDFs are banned everywhere — Python is allowed
+    # only in Arrow-batched form (ArrowEvalPython / MapInPandas)
+    "BatchEvalPython",
 )
 
 # named exact baselines whose whole point is the quadratic/broadcast plan
