@@ -311,3 +311,36 @@ class TestSpecCorpusOps:
             "output": {"memory": {}},
         })
         assert len(errs) == 1 and "unknown processor type" in errs[0]
+
+
+class TestRound4Chains:
+    def test_subprocess_then_grok_frame_chain(self, spark):
+        import json
+
+        from benthos_spark.engine.spark_exec import run_frame_pipeline, frame_from_strings
+
+        frame = frame_from_strings(spark, [
+            b'10.0.0.1 - alice [10/Oct/2000:13:55:36 -0700] "GET /a HTTP/1.1" 200 123',
+            b'10.0.0.2 - bob [10/Oct/2000:13:55:36 -0700] "GET /b HTTP/1.1" 500 77',
+        ])
+        piped = run_frame_pipeline(frame, [
+            {"subprocess": {"name": "sed", "args": ["s/alice/carol/", "-u"]}},
+            {"grok": {"patterns": ["%{COMMONAPACHELOG}"]}},
+        ])
+        auth = sorted(
+            json.loads(bytes(r["content"]))["auth"] for r in piped.collect()
+        )
+        assert auth == ["bob", "carol"]
+
+    def test_redact_then_neardup_typed_chain(self, spark):
+        out = run_spec(spark, {
+            "input": {"parquet": {"path": "/root/testdata/sf0.001/documents.parquet"}},
+            "pipeline": {"processors": [
+                {"pii_redact": {"column": "text", "counts": False}},
+                {"neardup": {"k": 16, "bands": 4, "n": 2}},
+            ]},
+            "output": {"memory": {}},
+        })
+        rows = out.collect()
+        assert len(rows) == 500
+        assert any(not r["is_keeper"] for r in rows)
