@@ -165,3 +165,50 @@ class TestGrokNative:
         native = native_grok(spark, lines, conf, ["a", "b"])
         assert kernel[0] == {"b": "zz"}  # empty a dropped by remove_empty
         assert native[0] == {"a": None, "b": "zz"}
+
+
+class TestReferenceVectors:
+    """lib/processor/grok_test.go replayed byte-exactly through GrokProc
+    (frame kernel) and value-exactly through the native stage."""
+
+    VECTORS = [
+        ("%{WORD:first},%{INT:second:int}", None, "foo,0",
+         '{"first":"foo","second":0}'),
+        ("%{WORD:first},%{INT:second:int}", None, "foo,2",
+         '{"first":"foo","second":2}'),
+        ("%{COMMONAPACHELOG}", None,
+         '127.0.0.1 - - [23/Apr/2014:22:58:32 +0200] "GET /index.php HTTP/1.1" 404 207',
+         '{"auth":"-","bytes":"207","clientip":"127.0.0.1","httpversion":"1.1",'
+         '"ident":"-","request":"/index.php","response":"404",'
+         '"timestamp":"23/Apr/2014:22:58:32 +0200","verb":"GET"}'),
+        ("%{ACTION:action} connection from %{IPV4:ipv4}", {"ACTION": "(pass|deny)"},
+         "pass connection from 127.0.0.1",
+         '{"action":"pass","ipv4":"127.0.0.1"}'),
+    ]
+
+    def test_frame_kernel_byte_exact(self):
+        from benthos_spark.bloblang.interp import Interpreter
+        from benthos_spark.engine.processors import Env, Part, build_processor
+
+        env = Env(interp=Interpreter())
+        for pattern, defs, inp, want in self.VECTORS:
+            conf = {"patterns": [pattern]}
+            if defs:
+                conf["pattern_definitions"] = defs
+            proc = build_processor({"grok": conf})
+            [batch] = proc.process([Part(inp.encode(), {})], env)
+            assert batch[0].content.decode() == want, (pattern, inp)
+
+    def test_native_stage_value_exact(self, spark):
+        import json
+
+        for pattern, defs, inp, want in self.VECTORS:
+            conf = {"patterns": [pattern]}
+            if defs:
+                conf["pattern_definitions"] = defs
+            _, fields, _ = grok_to_java(pattern, defs or {})
+            names = [n for n, _ in fields]
+            got = native_grok(spark, [inp], conf, names)[0]
+            expected = json.loads(want)
+            for f in names:
+                assert got[f] == expected.get(f), (pattern, f)
