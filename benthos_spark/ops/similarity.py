@@ -247,7 +247,20 @@ def neardup_lsh_rerank(
     on (band, bucket)) -> exact cosine re-rank -> threshold. Output shape
     matches embedding_neardup_pairs (id_a, id_b, cos) but the pair space is
     O(collisions), never O(n^2); the exact all-pairs op remains as the
-    explicitly-named baseline."""
+    explicitly-named baseline.
+
+    SELECTIVITY IS A FUNCTION OF THE THRESHOLD REGIME — tune bands/planes
+    to it. The per-band collision probability for a pair at angle theta is
+    (1 - theta/pi)^planes_per_band, so at a LOW threshold like 0.35
+    (theta ~ 69 deg) full recall needs few planes per band and the
+    candidate rate for random pairs is high (the default 32x4 passes most
+    pairs — measured ~85% on uniform vectors; correct, and what full
+    recall at that angle costs). At true near-dup thresholds (>= 0.85,
+    theta <= 32 deg) more planes per band prune hard while keeping recall:
+    24 bands x 12 planes passes <1% of random pairs at ~full recall for
+    0.95-cosine dups (tests/test_ops.py selectivity test). The harness
+    query runs the low-threshold regime because the synthetic embeddings
+    only have structure there."""
     b = srp_band_buckets(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v", dim, bands, planes_per_band, seed,

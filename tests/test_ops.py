@@ -329,3 +329,53 @@ output: {memory: {}}
         assert any("processors[0]" in e for e in errs)
         assert any("nope" in e for e in errs)
         assert any("frobnicate" in e for e in errs)
+
+
+class TestLshSelectivityRegime:
+    def test_high_threshold_banding_prunes_and_recalls(self, spark):
+        """At true near-dup thresholds the banding must PRUNE (candidate
+        rate << all-pairs) while keeping ~full recall — the 100 TB claim.
+        Synthetic set: 50 base vectors + 25 jittered dups (cos ~0.99)."""
+        import math
+        import random
+
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from benthos_spark.ops.similarity import srp_band_buckets
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(50, 64))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i, (v / np.linalg.norm(v)).tolist()))
+        for j in range(25):  # dup of base[j] with small jitter
+            v = base[j] + rng.normal(scale=0.05, size=64)
+            rows.append((100 + j, (v / np.linalg.norm(v)).tolist()))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        b = srp_band_buckets(
+            emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+            "v", 64, 24, 12,
+        )
+        l, r = b.alias("l"), b.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .distinct()
+            .collect()
+        )
+        pairs = {(r2["a"], r2["b"]) for r2 in cand}
+        n = 75
+        all_pairs = n * (n - 1) // 2
+        # prunes: way below the cross product
+        assert len(pairs) < 0.15 * all_pairs, (len(pairs), all_pairs)
+        # recalls: every planted dup pair is a candidate
+        planted = {(j, 100 + j) for j in range(25)}
+        found = planted & pairs
+        assert len(found) >= 24, f"recall {len(found)}/25"
