@@ -647,6 +647,7 @@ class SubprocessProc(Processor):
         self._proc = None
         self._out_buf = b""
         self._err_buf = b""
+        self._closed: set = set()
 
     # -- child lifecycle -------------------------------------------------
     def _ensure(self):
@@ -659,6 +660,7 @@ class SubprocessProc(Processor):
             )
             self._out_buf = b""
             self._err_buf = b""
+            self._closed = set()
 
     def _read_line(self, timeout: float = 10.0) -> tuple:
         """(stdout_line | None, stderr_line | None) — whichever pipe
@@ -676,22 +678,26 @@ class SubprocessProc(Processor):
             if b"\n" in self._err_buf:
                 line, self._err_buf = self._err_buf.split(b"\n", 1)
                 return None, line
+            live = [f for f in (p.stdout, p.stderr) if f not in self._closed]
+            if not live:
+                # EOF on both pipes and no complete line buffered: a child
+                # that exited right after responding must NOT lose its
+                # answer, so EOF only raises here, never mid-drain
+                raise IOError("subprocess closed its pipes")
             remaining = deadline - _time.monotonic()
             if remaining <= 0:
                 raise TimeoutError("subprocess response timeout")
-            rl, _, _ = select.select(
-                [p.stdout, p.stderr], [], [], min(remaining, 1.0)
-            )
+            rl, _, _ = select.select(live, [], [], min(remaining, 1.0))
             for f in rl:
                 chunk = os.read(f.fileno(), self.max_buffer)
                 if not chunk:
-                    raise IOError("subprocess closed its pipes")
-                if f is p.stdout:
+                    self._closed.add(f)
+                elif f is p.stdout:
                     self._out_buf += chunk
                 else:
                     self._err_buf += chunk
 
-    def _send(self, line: bytes) -> bytes:
+    def _send_once(self, line: bytes) -> bytes:
         self._ensure()
         self._proc.stdin.write(line + b"\n")
         self._proc.stdin.flush()
@@ -699,6 +705,19 @@ class SubprocessProc(Processor):
         if err is not None:
             raise RuntimeError(err.decode("utf-8", errors="replace"))
         return out
+
+    def _send(self, line: bytes) -> bytes:
+        try:
+            return self._send_once(line)
+        except (BrokenPipeError, IOError, TimeoutError):
+            # child died (possibly mid-exit, so poll() hadn't noticed yet):
+            # the reference restarts exited subprocesses — one restart+retry
+            try:
+                self._proc.kill()
+            except Exception:
+                pass
+            self._proc = None
+            return self._send_once(line)
 
     # -- processor -------------------------------------------------------
     def process(self, batch: Batch, env) -> List[Batch]:
