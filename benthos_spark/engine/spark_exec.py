@@ -140,16 +140,38 @@ def _conf_is_row_local(ptype: str, body: Any) -> bool:
     return not scan(body)
 
 
-def _rowlocal_kernel(conf_json: str):
+# Row-local processors with external side effects: re-executing a part is
+# observable (a line piped to a subprocess child twice IS two executions).
+# Chains containing one skip the whole-chunk-first probe and run per part
+# from the start, so a fallback never re-runs work.
+_SIDE_EFFECTING_ROW_LOCAL = frozenset({"subprocess"})
+
+# Output-seq fanout base for the rare part-count-changing chunk: part with
+# input seq s emits seqs [s*BASE, s*BASE + fanout). Input seqs are unique
+# per batch, so output triples are globally unique across Arrow chunks AND
+# partitions (the old dense-per-chunk renumbering collided whenever a batch
+# spanned chunks), and output order follows input seq order.
+_FANOUT_SEQ_BASE = 1 << 20
+
+
+def _rowlocal_kernel(conf_json: str, side_effecting: bool = False):
     """mapInPandas kernel for chains of strictly part-local processors.
 
-    Runs the whole Arrow chunk through ``execute_all`` as one batch (the
-    kernels don't look across parts, so this is semantically identical to the
-    original batching) and passes (batch_id, seq) through unchanged — equal
-    to grouped mode's dense renumbering whenever input seq is dense per
-    batch, the invariant every frame source guarantees. Falls back to
-    per-part execution if a processor unexpectedly changed the part count
-    (e.g. dropped a failed part)."""
+    Pure chains run the whole Arrow chunk through ``execute_all`` as one
+    batch (the kernels don't look across parts, so this is semantically
+    identical to the original batching) and pass (batch_id, seq) through
+    unchanged — equal to grouped mode's dense renumbering whenever input seq
+    is dense per batch, the invariant every frame source guarantees. If a
+    processor changed the part count (e.g. dropped a failed part) the chunk
+    re-runs per part — harmless for pure processors — to attribute each
+    output to its source (batch_id, seq); ``side_effecting`` chains
+    (subprocess) run per part from the start so nothing executes twice.
+
+    A part-count-changing chunk emits seq = input_seq * _FANOUT_SEQ_BASE + j
+    (j = output ordinal within the part): globally unique and
+    order-preserving, but no longer DENSE per batch — a downstream
+    batch-by-count stage after an unexpected part drop should use grouped
+    mode. Chunks that stay 1:1 keep their original seq values either way."""
     import pandas as pd
 
     def fn(it):
@@ -163,30 +185,42 @@ def _rowlocal_kernel(conf_json: str):
                 Part(bytes(c) if c is not None else b"", dict(m) if m is not None else {})
                 for c, m in zip(pdf["content"], pdf["meta"])
             ]
-            batches = list(execute_all(procs, parts, env))
-            outs = [p for b in batches for p in b]
-            if len(batches) <= 1 and len(outs) == len(parts):
-                yield pd.DataFrame(
-                    {
-                        "batch_id": pdf["batch_id"].to_numpy(),
-                        "out_batch": 0,
-                        "seq": pdf["seq"].to_numpy(),
-                        "content": [p.content for p in outs],
-                        "meta": [p.meta for p in outs],
-                    }
-                )
-                continue
+            if not side_effecting:
+                batches = list(execute_all(procs, parts, env))
+                outs = [p for b in batches for p in b]
+                if len(batches) <= 1 and len(outs) == len(parts):
+                    yield pd.DataFrame(
+                        {
+                            "batch_id": pdf["batch_id"].to_numpy(),
+                            "out_batch": 0,
+                            "seq": pdf["seq"].to_numpy(),
+                            "content": [p.content for p in outs],
+                            "meta": [p.meta for p in outs],
+                        }
+                    )
+                    continue
+            # per-part path: exact source attribution
+            per_part = [
+                list(execute_all(procs, [part], env)) for part in parts
+            ]
+            one_to_one = all(
+                len(bs) == 1 and len(bs[0]) == 1 for bs in per_part
+            )
             rows = []
-            # dense seq per (batch_id, out_batch), mirroring grouped mode's
-            # renumbering — a part fanning out to N outputs must not emit N
-            # duplicate (batch_id, out_batch, seq) triples.
-            next_seq: dict = {}
-            for bid, part in zip(pdf["batch_id"], parts):
-                for ob, batch in enumerate(execute_all(procs, [part], env)):
-                    for p in batch:
-                        key = (int(bid), ob)
-                        s = next_seq.get(key, 0)
-                        next_seq[key] = s + 1
+            for bid, in_seq, bs in zip(pdf["batch_id"], pdf["seq"], per_part):
+                for ob, batch in enumerate(bs):
+                    for j, p in enumerate(batch):
+                        if not one_to_one and j >= _FANOUT_SEQ_BASE:
+                            raise RuntimeError(
+                                "row-local fan-out exceeds seq base "
+                                f"({_FANOUT_SEQ_BASE}); run this chain in "
+                                "grouped mode"
+                            )
+                        s = (
+                            int(in_seq)
+                            if one_to_one
+                            else int(in_seq) * _FANOUT_SEQ_BASE + j
+                        )
                         rows.append(
                             {"batch_id": int(bid), "out_batch": ob, "seq": s,
                              "content": p.content, "meta": p.meta}
@@ -211,7 +245,12 @@ def run_frame_pipeline(df: DataFrame, processors_conf: List[Dict[str, Any]]) -> 
     conf_json = _json.dumps(processors_conf)
     split_confs = [_split_conf(c) for c in processors_conf]
     if split_confs and all(_conf_is_row_local(t, b) for t, b in split_confs):
-        return df.mapInPandas(_rowlocal_kernel(conf_json), FRAME_OUT_SCHEMA)
+        side_effecting = any(
+            t in _SIDE_EFFECTING_ROW_LOCAL for t, _ in split_confs
+        )
+        return df.mapInPandas(
+            _rowlocal_kernel(conf_json, side_effecting), FRAME_OUT_SCHEMA
+        )
     return df.groupBy("batch_id").applyInPandas(_kernel(conf_json), FRAME_OUT_SCHEMA)
 
 
@@ -879,12 +918,15 @@ class NativePipeline:
                     df, k=k, bands=bands_n, n=n,
                     text_col=text_col, id_col=id_col, ts_col=tsc,
                 )
+                # band rows are normalized to BAND_SCHEMA: the timestamp
+                # column is always named "ts" downstream of the kernel,
+                # whatever the user's ts_col was.
                 if impl == "builtin":
                     return streaming_neardup_builtin(
                         rows, watermark=wm or "30 minutes",
-                        lookback=lookback, ts_col=tsc,
+                        lookback=lookback, ts_col="ts",
                     )
-                return streaming_neardup(rows, watermark=wm, ts_col=tsc)
+                return streaming_neardup(rows, watermark=wm, ts_col="ts")
             from ..ops.dedup import neardup_anchor
 
             return neardup_anchor(

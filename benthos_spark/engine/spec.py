@@ -156,6 +156,10 @@ class Stream:
                 value_column=body.get("value_column", "content"),
                 partitioner=body.get("partitioner"),
                 partition_count=body.get("partition_count"),
+                # frame mode always carries seq; round_robin uses it as the
+                # per-batch row index (streaming plans can't use
+                # monotonically_increasing_id)
+                row_index_col="seq" if "seq" in self.df.columns else None,
             )
             w = (
                 frame.writeStream.format("kafka")

@@ -42,14 +42,22 @@ def dedupe_exact(df: DataFrame, keys: List[str], order_col: str = "seq") -> Data
     hash agg. A var-length order column falls back to min_by.
 
     ``order_col`` should be unique per key (seq / event ids are); tied
-    winners would each survive the join."""
+    winners would each survive the join. NULL dedupe keys form one group
+    (the min_by path keeps them too): the join-back uses null-safe
+    equality — a plain equi-join would silently drop NULL-key rows."""
     if order_col in df.columns:
         if dict(df.dtypes).get(order_col) in _FIXED_WIDTH:
             winners = df.groupBy(*keys).agg(F.min(order_col).alias("__w"))
+            w = winners.select(
+                *[F.col(k).alias(f"__k_{k}") for k in keys], "__w"
+            )
+            cond = None
+            for k in keys:
+                c = df[k].eqNullSafe(w[f"__k_{k}"])
+                cond = c if cond is None else (cond & c)
             return (
-                df.join(winners, on=list(keys))
+                df.join(w, cond)
                 .where(F.col(order_col) == F.col("__w"))
-                .drop("__w")
                 .select(*df.columns)
             )
         rest = [c for c in df.columns if c not in keys]

@@ -15,7 +15,11 @@ column is present. The reference's four sarama partitioners map as:
   order: mod first, then abs). Needs ``partition_count`` (the reference
   asks the broker; we cannot without a connection).
 - ``round_robin``: row-index modulo partition count (per-batch
-  approximation of sarama's per-producer counter).
+  approximation of sarama's per-producer counter). Streaming plans reject
+  ``monotonically_increasing_id`` (UnsupportedOperationChecker), so a
+  streaming frame must name an existing monotone column (``row_index_col``
+  — the message-frame ``seq`` is always available) and a streaming call
+  without one fails at build time, before ``start()``.
 - ``random``: uniform random partition.
 
 The transform is pure DataFrame -> DataFrame so it is testable without a
@@ -56,6 +60,7 @@ def kafka_output_frame(
     value_column: str = "content",
     partitioner: str | None = None,
     partition_count: int | None = None,
+    row_index_col: str | None = None,
 ) -> DataFrame:
     """(key, value[, partition]) frame ready for ``.format("kafka")``."""
     cols = [
@@ -77,7 +82,18 @@ def kafka_output_frame(
         raise ValueError(f"{partitioner} needs partition_count (the "
                          "reference reads it from the broker)")
     if partitioner == "round_robin":
-        part = F.pmod(F.monotonically_increasing_id(), F.lit(partition_count))
+        if row_index_col is not None and row_index_col in df.columns:
+            idx = F.col(row_index_col).cast("long")
+        elif df.isStreaming:
+            raise ValueError(
+                "round_robin on a streaming frame needs row_index_col (an "
+                "existing monotone column such as the frame's 'seq'): "
+                "monotonically_increasing_id is not supported in streaming "
+                "plans"
+            )
+        else:
+            idx = F.monotonically_increasing_id()
+        part = F.pmod(idx, F.lit(partition_count))
         return df.select(*cols, part.cast("int").alias("partition"))
 
     # fnv1a_hash via an Arrow-batched kernel (byte loop over the key)

@@ -173,6 +173,18 @@ def streaming_neardup_builtin(
     Output shape matches streaming_neardup: (id, band, partner), partner
     NULL when the row IS the bucket keeper. Same finalize applies.
 
+    State is bounded on BOTH stateful ops: ``dropDuplicatesWithinWatermark``
+    evicts a bucket's keeper entry once the watermark passes its event time
+    plus the delay (plain ``dropDuplicates`` would grow keeper state forever
+    — Spark only GCs dedupe state when the event-time column is part of the
+    subset), and the join's time bound evicts join state after ``lookback``.
+    Eviction from the DEDUPE state is harmless through ``finalize_neardup``:
+    a bucket whose keeper entry expired re-emits a later row as a fresh
+    keeper, but the ORIGINAL keeper stays matchable in JOIN state for the
+    full ``lookback``, so every doc still sees the bucket's minimum id and
+    the read-side ``min(partner)`` is unchanged — the only effect is extra
+    (benign) keeper rows in the raw band output.
+
     SEMANTICS CAVEAT: the keeper is the bucket's first-ARRIVED row —
     within a parallel micro-batch, encounter order is arbitrary, so this
     variant is only min-id-deterministic under ordered single-partition
@@ -184,7 +196,7 @@ def streaming_neardup_builtin(
     op pays ~0.5 ms per live bucket per micro-batch), at the cost of
     keeper rows ALSO buffering in join state for ``lookback``."""
     wm = band_rows.withWatermark(ts_col, watermark)
-    keepers = wm.dropDuplicates(["band", "band_key"]).select(
+    keepers = wm.dropDuplicatesWithinWatermark(["band", "band_key"]).select(
         F.col("id").alias("k_id"),
         F.col(ts_col).alias("k_ts"),
         F.col("band").alias("k_band"),

@@ -143,16 +143,26 @@ def keep_first_agg(
         and all(dict(df.dtypes).get(c) in fixed for c in tb)
     )
     if hash_ok:
-        base = df.withColumn("__ws", F.window(ts_col, size)["start"])
-        g1 = base.groupBy("__ws", *keys).agg(F.min(ts_col).alias("__mts"))
-        t1 = base.join(g1, on=["__ws", *keys]).where(
-            F.col(ts_col) == F.col("__mts")
-        )
-        if tb:
-            g2 = t1.groupBy("__ws", *keys).agg(F.min(tb[0]).alias("__mtb"))
-            t1 = t1.join(g2, on=["__ws", *keys]).where(
-                F.col(tb[0]) == F.col("__mtb")
+        # NULL group keys form a group like the min_by path keeps them;
+        # the join-backs use null-safe equality so those rows survive.
+        def _min_join(src: DataFrame, agg_col, agg_name: str) -> DataFrame:
+            g = src.groupBy("__ws", *keys).agg(F.min(agg_col).alias(agg_name))
+            jk = ["__ws", *keys]
+            w = g.select(*[F.col(k).alias(f"__j_{k}") for k in jk], agg_name)
+            cond = None
+            for k in jk:
+                c = src[k].eqNullSafe(w[f"__j_{k}"])
+                cond = c if cond is None else (cond & c)
+            return (
+                src.join(w, cond)
+                .where(F.col(agg_col) == F.col(agg_name))
+                .select(*src.columns)
             )
+
+        base = df.withColumn("__ws", F.window(ts_col, size)["start"])
+        t1 = _min_join(base, ts_col, "__mts")
+        if tb:
+            t1 = _min_join(t1, tb[0], "__mtb")
         return t1.select(
             F.col("__ws").alias("win_start"), *keys, *payload
         )
