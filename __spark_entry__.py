@@ -903,14 +903,18 @@ def q_streaming_neardup(spark, sf_dir):
     """Streaming MinHash-LSH near-dup dedupe end-to-end (streaming/
     neardup.py): documents fed as TWO ordered parquet files (cross-batch
     dup pairs prove bucket state survives micro-batch boundaries) ->
-    stateless k-lanes signature kernel -> stateful (band, band_key) bucket
-    op (min-id state, within-batch id sort => EXACT min-earlier-partner
-    semantics regardless of partitioning; the all-JVM builtin variant
-    anchors to the bucket's first-ARRIVED member instead, which is only
-    id-deterministic under ordered single-partition arrival) ->
-    exactly-once sink -> read-side finalize. Oracle recomputes the
-    identical k-lane formula in DuckDB and derives anchor = min earlier
-    band partner per doc — the batch formulation of the same semantics."""
+    stateless k-lanes signature kernel -> the DEFAULT all-JVM stateful
+    stage ``streaming_neardup_jvm`` (windowed per-bucket min(id)
+    aggregation + stream-stream join — min-id-exact under ANY
+    partitioning, zero Python in the stateful path; the
+    applyInPandasWithState op remains as the semantics oracle in
+    tests/test_streaming_neardup.py) -> exactly-once sink -> read-side
+    finalize. Two far-future sentinel files advance the lagging watermark
+    so every real window flushes during a data batch (append-mode
+    emission timing); finalize's documents join drops the sentinels.
+    Oracle recomputes the identical k-lane formula in DuckDB and derives
+    anchor = min earlier band partner per doc — the batch formulation of
+    the same semantics."""
     import glob as _glob
     import shutil
     import tempfile
@@ -918,21 +922,47 @@ def q_streaming_neardup(spark, sf_dir):
     from benthos_spark.streaming.neardup import (
         finalize_neardup,
         minhash_band_rows,
-        streaming_neardup,
+        streaming_neardup_jvm,
     )
     from benthos_spark.streaming.sink import IdempotentSink, run_to_sink
 
     docs = _t(spark, sf_dir, "documents")
     med = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    base = 1735689600
     with_ts = docs.withColumn(
-        "ts", F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id"))
+        "ts", F.timestamp_seconds(F.lit(base) + F.col("doc_id"))
+    )
+    sentinels = (
+        spark.createDataFrame(
+            [(10**9 + 1, "watermark flush sentinel one"),
+             (10**9 + 2, "watermark flush sentinel two")],
+            "doc_id long, text string",
+        )
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(base) + F.lit(30 * 86400) * (F.col("doc_id") - 10**9)
+            ),
+        )
+        # align to the staged schema (documents has lang/source/n_chars)
+        .select(
+            *[
+                F.col(c) if c in ("doc_id", "text", "ts")
+                else F.lit(None).cast(t).alias(c)
+                for c, t in with_ts.dtypes
+            ]
+        )
     )
     src = tempfile.mkdtemp(prefix="bs_ndq_src_")
-    for i, pred in enumerate(
-        [F.col("doc_id") <= F.lit(med), F.col("doc_id") > F.lit(med)]
-    ):
+    stages = [
+        (with_ts, F.col("doc_id") <= F.lit(med)),
+        (with_ts, F.col("doc_id") > F.lit(med)),
+        (sentinels, F.col("doc_id") == 10**9 + 1),
+        (sentinels, F.col("doc_id") == 10**9 + 2),
+    ]
+    for i, (frame, pred) in enumerate(stages):
         tmp = tempfile.mkdtemp(prefix="bs_ndq_part_")
-        with_ts.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        frame.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
         part = sorted(_glob.glob(tmp + "/part-*.parquet"))[0]
         shutil.copy(part, os.path.join(src, f"{i}_docs.parquet"))
     stream = (
@@ -944,7 +974,7 @@ def q_streaming_neardup(spark, sf_dir):
     # Python signature kernel across cores (real inputs arrive
     # multi-partition); band rows then shuffle once more for the buckets
     bands = minhash_band_rows(stream.repartition(16), k=16, bands=4, n=2)
-    out = streaming_neardup(bands, watermark="1 hour")
+    out = streaming_neardup_jvm(bands, watermark="1 hour")
     sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_ndq_sink_"))
     with _state_partitions(spark, 8):
         run_to_sink(out, sink, tempfile.mkdtemp(prefix="bs_ndq_ckpt_"))

@@ -885,13 +885,17 @@ class NativePipeline:
     def _c_neardup(self, body, cols):
         """MinHash-LSH near-dup dedupe — terminal stage. Batch (default):
         ops/dedup.neardup_anchor, output (id, anchor, is_keeper). With
-        ``streaming: true``: stateless signature kernel + stateful bucket
-        op (exact min-id semantics under any partitioning); ``impl:
-        builtin`` selects the all-JVM dropDuplicates + stream-stream-join
-        throughput path (first-arrived anchor — see
-        streaming_neardup_builtin's semantics caveat). Output is the
-        append-mode (id, band, partner) stream — finalize on the sink
-        read-back with streaming.neardup.finalize_neardup."""
+        ``streaming: true``: stateless signature kernel + one stateful
+        stage selected by ``impl``:
+        - ``jvm`` (default) — all-JVM windowed-min + stream-stream join,
+          min-id-exact under any partitioning, no Python in the stateful
+          path (streaming_neardup_jvm); ``window`` tunes agg granularity.
+        - ``exact_py`` — the applyInPandasWithState reference op
+          (running-min state; per-row emission without watermark flush).
+        - ``builtin`` — dropDuplicates keeper + join (first-arrived
+          anchor — see streaming_neardup_builtin's semantics caveat).
+        Output is the append-mode (id, band, partner) stream — finalize on
+        the sink read-back with streaming.neardup.finalize_neardup."""
         k = int(body.get("k", 16))
         bands_n = int(body.get("bands", 4))
         n = int(body.get("n", 2))
@@ -903,8 +907,9 @@ class NativePipeline:
         if is_stream:
             self._watermarked = True
 
-        impl = body.get("impl", "exact")
+        impl = body.get("impl", "jvm")
         lookback = body.get("lookback", "24 hours")
+        agg_window = body.get("window", "6 hours")
 
         def t(df):
             if is_stream:
@@ -912,6 +917,7 @@ class NativePipeline:
                     minhash_band_rows,
                     streaming_neardup,
                     streaming_neardup_builtin,
+                    streaming_neardup_jvm,
                 )
 
                 rows = minhash_band_rows(
@@ -926,7 +932,12 @@ class NativePipeline:
                         rows, watermark=wm or "30 minutes",
                         lookback=lookback, ts_col="ts",
                     )
-                return streaming_neardup(rows, watermark=wm, ts_col="ts")
+                if impl == "exact_py":
+                    return streaming_neardup(rows, watermark=wm, ts_col="ts")
+                return streaming_neardup_jvm(
+                    rows, watermark=wm or "30 minutes",
+                    window=agg_window, lookback=lookback, ts_col="ts",
+                )
             from ..ops.dedup import neardup_anchor
 
             return neardup_anchor(

@@ -17,10 +17,16 @@ Physical plan, stream-shaped end to end:
    oracle can recompute it). The batch op's groupBy-over-shingles cannot
    run mid-stream; the kernel folds the per-shingle min inside the row.
    Emits ``bands`` rows per doc: (id, ts, band, band_key).
-2. ``streaming_neardup`` — ONE stateful operator: groupBy(band, band_key)
-   + applyInPandasWithState. State per bucket = the minimum doc id seen
-   (one LONG — bounded regardless of bucket size), event-time-timeout
-   GC'd after ``gc_idle_s``. Emits (id, band, partner) per arriving row.
+2. one stateful stage, three interchangeable implementations emitting the
+   same (id, band, partner) shape:
+   - ``streaming_neardup_jvm`` (DEFAULT, the 100 TB path) — all-JVM and
+     min-id-exact under any partitioning: built-in windowed min(id)
+     aggregation per bucket + stream-stream join.
+   - ``streaming_neardup`` — applyInPandasWithState reference
+     implementation (exact running-min state; the semantics oracle, and
+     the only variant whose per-row emission needs no watermark flush).
+   - ``streaming_neardup_builtin`` — dropDuplicates keeper + join;
+     fastest but first-ARRIVED anchor (order-dependent), opt-in.
 3. ``finalize_neardup`` — stateless read-side view over the sink:
    per-doc min(partner) -> (doc_id, anchor, is_keeper).
 
@@ -153,6 +159,73 @@ def streaming_neardup(
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_neardup_jvm(
+    band_rows: DataFrame,
+    watermark: str = "30 minutes",
+    window: str = "6 hours",
+    lookback: str = "24 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """All-JVM **exact** variant of :func:`streaming_neardup` — the default
+    scale path: no Python anywhere in the stateful chain, and, unlike
+    :func:`streaming_neardup_builtin`, min-id-exact under ANY partitioning.
+
+    Formulation: a per-bucket **windowed min aggregation** feeds a
+    stream-stream join. ``min(id)`` per (band, band_key, event-time window)
+    is a built-in streaming aggregation (hash agg with partial map-side
+    combine; one long of state per live bucket-window); each band row then
+    joins every window of its bucket whose start lies within ``lookback``
+    before it, emitting (id, band, partner = window_min if < id). The
+    read-side ``finalize_neardup`` min-aggregates partners per doc exactly
+    as for the other variants.
+
+    Exactness (under the in-order ingest contract ts order == id order,
+    the same contract the Python op's docstring states): the true anchor
+    of doc d is the smallest id e < d sharing a bucket; e lies in some
+    window with start <= d's ts, and that window's min m <= e is itself a
+    valid earlier partner, so min over matched window-mins == e. Within-
+    micro-batch encounter order never matters because ``min`` is
+    order-insensitive — this is what makes the variant exact where
+    ``dropDuplicates``' first-arrived keeper is not.
+
+    State & output bounds: agg state is one long per live (bucket, window),
+    GC'd when the watermark passes the window end; join state is bounded by
+    ``lookback`` + ``watermark``. Each band row emits at most
+    ceil(lookback/window) rows (one per matched window) — ``window`` is the
+    knob trading agg-state granularity against output fan (default 6 h /
+    24 h lookback = fan <= 5).
+
+    Emission timing (inherent to append-mode aggregation): a window's min
+    emits once the watermark passes its end, so the final windows of a
+    bounded replay only flush after later data advances the watermark —
+    drive harnesses append a far-future sentinel row (dropped by
+    ``finalize_neardup``'s docs join) to flush the tail."""
+    wm = band_rows.withWatermark(ts_col, watermark)
+    bmins = wm.groupBy(
+        "band", "band_key", F.window(ts_col, window).alias("__win")
+    ).agg(F.min("id").alias("m_id"))
+    mins = bmins.select(
+        F.col("band").alias("k_band"),
+        F.col("band_key").alias("k_band_key"),
+        F.col("__win.start").alias("w_start"),
+        "m_id",
+    )
+    joined = wm.join(
+        mins,
+        F.expr(
+            f"band = k_band AND band_key = k_band_key "
+            f"AND w_start <= {ts_col} "
+            f"AND w_start >= {ts_col} - interval {lookback}"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "id",
+        "band",
+        F.when(F.col("m_id") < F.col("id"), F.col("m_id")).alias("partner"),
     )
 
 

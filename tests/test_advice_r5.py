@@ -247,7 +247,10 @@ class TestNullSafeKeyJoins:
 
 
 class TestNeardupSpecTsCol:
-    def test_streaming_neardup_stage_accepts_custom_ts_col(self, spark, tmpdir_path):
+    @pytest.mark.parametrize("impl", ["exact_py", "jvm"])
+    def test_streaming_neardup_stage_accepts_custom_ts_col(
+        self, spark, tmpdir_path, impl
+    ):
         """A neardup spec stage with ts_col != 'ts' must not throw an
         unresolved-column error: band rows normalize the timestamp to 'ts'."""
         from benthos_spark.engine.spark_exec import NativePipeline
@@ -257,6 +260,7 @@ class TestNeardupSpecTsCol:
                 {
                     "neardup": {
                         "streaming": True,
+                        "impl": impl,
                         "ts_col": "event_time",
                         "id_col": "doc_id",
                         "text_col": "text",
@@ -267,22 +271,25 @@ class TestNeardupSpecTsCol:
             {"doc_id": "bigint", "event_time": "timestamp", "text": "string"},
         )
         src = tempfile.mkdtemp(dir=tmpdir_path)
-        spark.createDataFrame(
-            [
-                Row(doc_id=1, event_time="2025-01-01 00:00:00",
-                    text="the quick brown fox jumps over the lazy dog"),
-                Row(doc_id=2, event_time="2025-01-01 00:01:00",
-                    text="the quick brown fox jumps over the lazy dog"),
-            ]
-        ).withColumn(
+        rows = [
+            Row(doc_id=1, event_time="2025-01-01 00:00:00",
+                text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, event_time="2025-01-01 00:01:00",
+                text="the quick brown fox jumps over the lazy dog"),
+            # far-future sentinel: flushes the jvm variant's agg windows
+            Row(doc_id=999, event_time="2025-03-01 00:00:00",
+                text="entirely unrelated sentinel words flush watermark"),
+        ]
+        spark.createDataFrame(rows).withColumn(
             "event_time", F.col("event_time").cast("timestamp")
         ).write.mode("overwrite").parquet(src)
         schema = spark.read.parquet(src).schema
         stream = spark.readStream.schema(schema).parquet(src)
         out = np_(stream)
+        name = f"ndtscol_{impl}"
         q = (
             out.writeStream.format("memory")
-            .queryName("ndtscol")
+            .queryName(name)
             .option("checkpointLocation", tempfile.mkdtemp(dir=tmpdir_path))
             .start()
         )
@@ -290,7 +297,11 @@ class TestNeardupSpecTsCol:
             q.processAllAvailable()
         finally:
             q.stop()
-        rows = spark.sql("select * from ndtscol").collect()
-        assert len(rows) == 8  # 2 docs x 4 bands
-        partners = {r.id: r.partner for r in rows}
-        assert partners[1] is None and partners[2] == 1
+        got = spark.sql(f"select * from {name}").collect()
+        partners: dict = {1: [], 2: []}
+        for r in got:
+            if r.id in partners:
+                partners[r.id].append(r.partner)
+        assert partners[1] and all(p is None for p in partners[1])
+        non_null = [p for p in partners[2] if p is not None]
+        assert non_null and all(p == 1 for p in non_null)

@@ -214,6 +214,168 @@ class TestCheckpointRestart:
         assert rows[1] == (None, True) and rows[7] == (None, True)
 
 
+def _stage_files(spark, docs, preds, src=None):
+    """Write docs as one parquet file per predicate into one stream dir."""
+    import glob
+
+    src = src or tempfile.mkdtemp(prefix="bs_ndj_src_")
+    for i, pred in enumerate(preds):
+        tmp = tempfile.mkdtemp(prefix="bs_ndj_part_")
+        docs.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = sorted(glob.glob(tmp + "/part-*.parquet"))[0]
+        shutil.copy(part, f"{src}/{i}_docs.parquet")
+    return src
+
+
+def _sentinels_df(spark, base=1735689600):
+    """Two far-future docs that advance the watermark past every real
+    window (two files because the watermark lags one batch and
+    availableNow need not run a trailing no-data batch). finalize's docs
+    join drops them from results."""
+    return spark.createDataFrame(
+        [
+            (901, "first watermark flush sentinel document entirely unique"),
+            (902, "second watermark flush sentinel document also unique"),
+        ],
+        "doc_id long, text string",
+    ).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(base) + F.lit(30 * 86400) * (F.col("doc_id") - 900)
+        ),
+    )
+
+
+class TestJvmVariant:
+    """streaming_neardup_jvm: all-JVM, min-id-exact under any partitioning."""
+
+    def _run_jvm(self, spark, docs, preds, repartition=None, window="6 hours"):
+        from benthos_spark.streaming.neardup import streaming_neardup_jvm
+
+        sent = _sentinels_df(spark)
+        src = _stage_files(spark, docs, preds)
+        # sentinel files appended AFTER the data files (file-source arrival
+        # order); two files so the lagging watermark flushes every real
+        # window during a DATA batch
+        import glob as _g
+
+        n = len(preds)
+        for j, pred in enumerate([F.col("doc_id") == 901, F.col("doc_id") == 902]):
+            tmp = tempfile.mkdtemp(prefix="bs_ndj_sp_")
+            sent.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = sorted(_g.glob(tmp + "/part-*.parquet"))[0]
+            shutil.copy(part, f"{src}/{n + j}_docs.parquet")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        if repartition:
+            stream = stream.repartition(repartition)
+        out = streaming_neardup_jvm(
+            minhash_band_rows(stream), watermark="1 hour", window=window
+        )
+        sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_ndj_sink_"))
+        run_to_sink(out, sink, tempfile.mkdtemp(prefix="bs_ndj_ckpt_"))
+        return {
+            r["doc_id"]: (r["anchor"], r["is_keeper"])
+            for r in finalize_neardup(sink.read(spark), docs).collect()
+        }
+
+    def test_jvm_equals_python_stateful_cross_batch(self, spark):
+        docs = _docs_df(spark)
+        got = self._run_jvm(
+            spark, docs, [F.col("doc_id") < 3, F.col("doc_id") >= 3]
+        )
+        want = {
+            r["doc_id"]: (r["anchor"], r["is_keeper"])
+            for r in TestStreamingNearDup()._run(spark, 3)
+        }
+        assert got == want
+
+    def test_jvm_exact_under_parallel_arrival(self, spark):
+        """Many same-bucket rows in ONE micro-batch, shuffled across 8
+        partitions: dropDuplicates' first-arrived keeper is arbitrary here,
+        the windowed min is not — results must equal the batch twin."""
+        from benthos_spark.ops.dedup import neardup_anchor
+
+        rows = [
+            (i, "the quick brown fox jumps over the lazy dog today")
+            for i in range(10, 26)
+        ] + [
+            (i, "some other family of nearly identical web page text here")
+            for i in range(40, 52)
+        ] + [(70, "a lone singleton document about nothing in particular")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "ts", F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id"))
+        )
+        got = self._run_jvm(
+            spark, docs, [F.lit(True)], repartition=8
+        )
+        want = {
+            r["id"]: (r["anchor"], r["is_keeper"])
+            for r in neardup_anchor(docs).collect()
+        }
+        assert got == want
+        assert got[11] == (10, False) and got[41] == (40, False)
+        assert got[70] == (None, True)
+
+    def test_jvm_partner_across_agg_windows(self, spark):
+        """Dup family spread over several agg windows: later members must
+        still anchor to the global bucket min via earlier windows."""
+        from benthos_spark.ops.dedup import neardup_anchor
+
+        rows = [
+            (1, "repeated family text that lands in multiple time windows"),
+            (8, "repeated family text that lands in multiple time windows"),
+            (25, "repeated family text that lands in multiple time windows"),
+            (12, "an unrelated filler document to keep the stream honest"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "ts", F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 10)
+        )
+        got = self._run_jvm(
+            spark, docs, [F.lit(True)], window="1 minute"
+        )
+        want = {
+            r["id"]: (r["anchor"], r["is_keeper"])
+            for r in neardup_anchor(docs).collect()
+        }
+        assert got == want
+        assert got[8] == (1, False) and got[25] == (1, False)
+
+    def test_spec_stage_default_has_no_python_state(self, spark):
+        """The neardup spec stage's DEFAULT streaming impl is the all-JVM
+        variant — no applyInPandasWithState anywhere in the plan (r4
+        verdict ask #2)."""
+        from benthos_spark.engine.spark_exec import NativePipeline
+
+        docs = _docs_df(spark)
+        src = tempfile.mkdtemp(prefix="bs_ndj_spec_")
+        docs.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        np_ = NativePipeline(
+            [{"neardup": {"streaming": True, "watermark": "1 hour"}}],
+            dict(stream.dtypes),
+        )
+        plan = np_(stream)._jdf.queryExecution().logical().toString()
+        assert "applyInPandasWithState" not in plan
+        assert plan.lower().count("mapinpandas") <= 2
+
+    def test_jvm_stateful_path_is_jvm_only(self, spark):
+        from benthos_spark.streaming.neardup import streaming_neardup_jvm
+
+        docs = _docs_df(spark)
+        src = tempfile.mkdtemp(prefix="bs_ndj_plan_")
+        docs.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = streaming_neardup_jvm(minhash_band_rows(stream))
+        plan = q._jdf.queryExecution().logical().toString()
+        assert "applyInPandasWithState" not in plan
+        # the only Python is the stateless signature kernel
+        assert plan.lower().count("mapinpandas") <= 2
+
+
 class TestBuiltinVariant:
     def _run_builtin(self, spark, split_at):
         import glob
