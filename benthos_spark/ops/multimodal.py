@@ -3,10 +3,13 @@
 Media payloads are opaque ``BINARY`` columns with typed metadata, processed
 by Arrow-batched ``mapInPandas`` kernels. The default decode step is a REAL
 pure-Python header parser (``formats/imagemeta.py``: PNG/JPEG/GIF/BMP/WEBP
-dimensions from the public container specs) plus generic byte features;
-PIXEL-level decode (resize, colorspace, audio PCM) still requires an
-imaging/audio library not present here and remains pluggable via
-``set_decoder`` (``decode_strict`` is the honest raising stub for it).
+dimensions from the public container specs) plus generic byte features.
+PIXEL-level decode is real for PNG (``formats/pngcodec.py``: stdlib zlib +
+numpy unfilter — ``apply_resize`` runs decode->resize->re-encode end to
+end, and ``pngcodec.pixel_decoder`` plugs into ``set_decoder``); JPEG/
+video/audio pixel decode still requires a library not present here and
+stays pluggable via ``set_decoder`` (``decode_strict`` is the honest
+raising stub for it).
 
 Design for 100 TB: media bytes never pass through a shuffle — featurization
 is a narrow map over the scan, and only the (small) feature struct flows
@@ -161,6 +164,69 @@ def resize_plan(
         .withColumn("out_h", out_h)
         .withColumn("is_noop", (F.col("out_w") == sw) & (F.col("out_h") == sh))
     )
+
+
+def apply_resize(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    binary_col: str = "payload",
+    id_col: str = "url",
+    keep_aspect: bool = True,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Execute an image resize end to end against REAL pixels — the
+    execution stage behind :func:`resize_plan` (which stays the pure-
+    Catalyst scheduling step: dims from metadata decide placement and
+    no-op skipping before any bytes are touched).
+
+    PNG payloads decode via the pure-Python codec
+    (``formats/pngcodec.py``: stdlib zlib + numpy unfilter), resize with
+    nearest-neighbour indexing, and re-encode; non-PNG/undecodable rows
+    pass through with NULL output dims. Arrow-batched mapInPandas, rows
+    chunked to ``batch_rows`` (media rows are fat); bytes never shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("out_png", T.BinaryType()),
+            T.StructField("src_w", T.IntegerType()),
+            T.StructField("src_h", T.IntegerType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..formats.pngcodec import decode_png, encode_png, resize_nearest
+
+        for pdf in it:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                rows = []
+                for mid, payload in zip(chunk[id_col], chunk[binary_col]):
+                    try:
+                        w, h, _c, px = decode_png(bytes(payload))
+                    except ValueError:
+                        rows.append((str(mid), None, None, None, None, None))
+                        continue
+                    if keep_aspect:
+                        scale = min(target_w / w, target_h / h)
+                        ow, oh = int(w * scale), int(h * scale)
+                    else:
+                        ow, oh = target_w, target_h
+                    ow, oh = max(ow, 1), max(oh, 1)
+                    if (ow, oh) == (w, h):  # no-op skip, as resize_plan flags
+                        out = bytes(payload)
+                    else:
+                        out = encode_png(resize_nearest(px, ow, oh))
+                    rows.append((str(mid), out, w, h, ow, oh))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "out_png", "src_w", "src_h",
+                             "out_w", "out_h"],
+                )
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
 
 
 def audio_chunk_plan(
