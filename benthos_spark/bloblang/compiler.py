@@ -104,13 +104,44 @@ class ColumnCompiler:
         self.content_col = content_col
         self.bindings = bindings or {}
         self.vars: Dict[str, Column] = {}
+        # Frame mode (dynamic-JSON documents): field refs / json() compile
+        # to get_json_object over the UTF-8 content column instead of
+        # resolving against typed columns. Set via frame_mode=True on
+        # compile_mapping_to_transform.
+        self.json_frame = False
 
     def with_this(self, this: Column) -> "ColumnCompiler":
         c = ColumnCompiler(self.columns, self.meta_col, self.content_col, dict(self.bindings))
         c.dtypes = self.dtypes
         c.bindings["__this__"] = this
         c.vars = self.vars
+        c.json_frame = self.json_frame
         return c
+
+    # -- frame mode helpers ---------------------------------------------
+    def _content_str(self) -> Column:
+        return F.col(self.content_col).cast("string")
+
+    def _json_path(self, dotted: str) -> Column:
+        """get_json_object extraction: NULL for absent paths (which is what
+        lets .or()/catch() compile to coalesce), the raw JSON text for
+        arrays/objects, the unquoted value for scalars."""
+        return F.get_json_object(self._content_str(), "$." + dotted)
+
+    def is_dynamic_json(self, ast: Any) -> bool:
+        """True when `ast` compiles to a get_json_object extraction (frame
+        mode field ref or json() call) — used for usage-typed dispatch:
+        numeric comparisons coerce, contains() picks array membership vs
+        substring at runtime."""
+        if not self.json_frame:
+            return False
+        if isinstance(ast, FieldRef):
+            return "__this__" not in self.bindings and ast.path[0] not in self.bindings
+        if isinstance(ast, Func) and ast.name == "json":
+            return True
+        if isinstance(ast, Method) and ast.name in ("or", "catch", "get"):
+            return self.is_dynamic_json(ast.recv)
+        return False
 
     # ------------------------------------------------------------------
     def compile(self, node: Any) -> Column:
@@ -154,6 +185,10 @@ class ColumnCompiler:
             col = self.bindings["__this__"][head]
         elif head in self.bindings:
             col = self.bindings[head]
+        elif self.json_frame:
+            # frame mode: bare names are document JSON paths, NEVER the
+            # frame's own internal columns (content/meta/seq/batch_id)
+            return self._json_path(".".join(str(p) for p in path))
         elif self.columns is None or head in self.columns:
             col = F.col(head)
         else:
@@ -163,6 +198,8 @@ class ColumnCompiler:
         return col
 
     def _path_col(self, dotted: str) -> Column:
+        if self.json_frame:
+            return self._json_path(dotted)
         segs = dotted.split(".")
         if self.columns is not None and segs[0] not in self.columns:
             raise CompileError(f"unknown column {segs[0]}")
@@ -180,6 +217,11 @@ class ColumnCompiler:
         if name == "content":
             if self.content_col is None:
                 raise CompileError("no content column bound")
+            if self.json_frame:
+                # frame content is BINARY; the native path treats it as
+                # UTF-8 text (documented deviation: string methods on
+                # non-UTF-8 payloads need the interpreter kernel)
+                return self._content_str()
             return F.col(self.content_col)
         if name in ("meta", "metadata"):
             if self.meta_col is None:
@@ -241,6 +283,14 @@ class ColumnCompiler:
         if op == "|":
             return F.coalesce(left, self.compile(node.right))
         right = self.compile(node.right)
+        if op in ("==", "!=", "<", ">", "<=", ">="):
+            # usage-typed coercion for dynamic JSON refs: a get_json_object
+            # extraction is STRING — compared against a statically-numeric
+            # other side, coerce it so 10 > 9 (not "10" < "9")
+            if self.is_dynamic_json(node.left) and _static_type(node.right, self) == "number":
+                left = _num(left)
+            if self.is_dynamic_json(node.right) and _static_type(node.left, self) == "number":
+                right = _num(right)
         if op == "==":
             return left == right
         if op == "!=":
@@ -356,6 +406,18 @@ class ColumnCompiler:
         if name == "size":
             return F.size(recv)
         if name == "contains":
+            if self.is_dynamic_json(node.recv):
+                # dynamic dispatch the way the reference's contains() does
+                # per-row (methods.go Contains): membership when the JSON
+                # value is an array, substring when it is a string. The
+                # extraction yields the raw JSON text, so '[' prefix is the
+                # runtime type tag; unparseable arrays -> NULL (caller's
+                # catch()/or() picks the fallback).
+                arg = self.compile(args[0])
+                return F.when(
+                    recv.startswith("["),
+                    F.array_contains(F.from_json(recv, "array<string>"), arg),
+                ).otherwise(recv.contains(arg))
             return recv.contains(self.compile(args[0]))
         if name == "has_prefix":
             return recv.startswith(self.compile(args[0]))
@@ -576,15 +638,34 @@ class CompiledMapping:
         return self.transform(df)
 
 
-def compile_mapping_to_transform(mapping: Mapping, columns) -> CompiledMapping:
+def compile_mapping_to_transform(
+    mapping: Mapping,
+    columns,
+    frame_mode: bool = False,
+    content_col: str = "content",
+    meta_col: str = "meta",
+) -> CompiledMapping:
     """Compile a typed-mode mapping. Raises CompileError on any statement the
     Column compiler can't express (caller falls back to the kernel path).
 
     ``columns`` may be a plain set of names or a dict {name: spark_dtype}
     (``dict(df.dtypes)``) — with dtypes, ``+`` resolves concat-vs-add
-    statically instead of falling back."""
+    statically instead of falling back.
+
+    ``frame_mode=True`` compiles dynamic-JSON mappings over a message frame
+    (content BINARY + meta MAP): field refs and ``json()`` become
+    ``get_json_object`` extractions, ``meta()``/``content()`` bind to the
+    frame columns, and the supported statements are root-level delete
+    filters plus whole-root assignment of a STRING expression (which
+    replaces the content column). Field assignment would need JSON
+    reserialization (key-sorted, Go-number-formatted) — that stays on the
+    interpreter kernel."""
     steps = []  # (kind, payload)
-    cc = ColumnCompiler(columns=columns)
+    if frame_mode:
+        cc = ColumnCompiler(columns=columns, meta_col=meta_col, content_col=content_col)
+        cc.json_frame = True
+    else:
+        cc = ColumnCompiler(columns=columns)
     current_cols = cc.columns
 
     def add_col(name: str, static_t: Optional[str]) -> None:
@@ -624,7 +705,15 @@ def compile_mapping_to_transform(mapping: Mapping, columns) -> CompiledMapping:
                     pred = pred | c
                 steps.append(("filter", ~F.coalesce(pred, F.lit(False))))
                 continue
+            if frame_mode and _static_type(st.expr, cc) == "string":
+                # whole-root STRING assignment = replace the message content
+                steps.append(("content", cc.compile(st.expr)))
+                continue
             raise CompileError("whole-root reshaping not supported in typed mode")
+        if frame_mode:
+            raise CompileError(
+                "field assignment needs JSON reserialization (frame mode)"
+            )
         if len(st.path) != 1:
             raise CompileError("nested assignment targets not supported in typed mode")
         name = st.path[0]
@@ -643,6 +732,8 @@ def compile_mapping_to_transform(mapping: Mapping, columns) -> CompiledMapping:
                 out = out.filter(payload)
             elif kind == "drop":
                 out = out.drop(payload)
+            elif kind == "content":
+                out = out.withColumn(content_col, payload.cast("binary"))
             else:
                 name, col = payload
                 out = out.withColumn(name, col)

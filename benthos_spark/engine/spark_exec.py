@@ -294,7 +294,15 @@ class NativePipeline:
     # -- native stage builders ------------------------------------------
     def _c_bloblang(self, body, cols):
         mapping = parse_mapping(body if isinstance(body, str) else body.get("mapping", ""))
-        t = compile_mapping_to_transform(mapping, cols)
+        # message frames (content BINARY + meta MAP) compile in frame mode:
+        # field refs become get_json_object extractions, root-delete matches
+        # become filters, whole-root string assigns replace content
+        frame = (
+            isinstance(cols, dict)
+            and cols.get("content") == "binary"
+            and str(cols.get("meta", "")).startswith("map")
+        )
+        t = compile_mapping_to_transform(mapping, cols, frame_mode=frame)
         return t.transform
 
     _c_mapping = _c_bloblang

@@ -123,6 +123,46 @@ def probes(spark, n):
     }
 
 
+def dedup_probes(spark, n):
+    """The heavy dedup family (round-4 verdict ask #6): minhash_wide,
+    minhash_lsh_pairs, duplicate_spans, simhash_pairs, neardup_anchor,
+    dedup_clusters.
+
+    Input shape is chosen so duplicate structure grows LINEARLY with n:
+    every 3 consecutive doc ids share byte-identical text (cluster size is a
+    constant 3), so LSH/simhash/span candidate pairs are ~n per level and a
+    sub-1.0 ratio reflects plan-shape degradation, not a quadratic pair
+    blowup baked into the data. simhash is probed at 64 bits: half-band keys
+    are then ~2^28-distinct, so random cross-group half collisions stay
+    O(n^2/2^28) — thousands of junk pairs at 20M rows vs ~n real ones."""
+    from pyspark.sql import functions as F
+
+    from benthos_spark.ops.dedup import (
+        minhash_lsh_pairs, minhash_wide, neardup_anchor, simhash_pairs,
+    )
+    from benthos_spark.ops.graph import dedup_clusters
+    from benthos_spark.ops.spans import duplicate_span_stats
+
+    group = F.floor(F.col("id") / 3)
+    words = [
+        F.concat(F.lit("w"), ((group * 2654435761 + i * 7919) % 50021).cast("string"))
+        for i in range(12)
+    ]
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("the"), *words, F.lit("end")).alias("text"),
+    )
+
+    return {
+        "minhash_wide": lambda: minhash_wide(docs),
+        "minhash_lsh_pairs": lambda: minhash_lsh_pairs(docs),
+        "duplicate_spans": lambda: duplicate_span_stats(docs),
+        "simhash_pairs": lambda: simhash_pairs(docs, bits=64),
+        "neardup_anchor": lambda: neardup_anchor(docs),
+        "dedup_clusters": lambda: dedup_clusters(docs, minhash_lsh_pairs(docs)),
+    }
+
+
 def _force(df):
     """Hash-aggregate every output column: a bare count() lets Catalyst
     prune projections and even whole Window operators (they never change
@@ -133,9 +173,9 @@ def _force(df):
     df.select(F.bit_xor(F.xxhash64(*cols))).collect()
 
 
-def run_level(spark, n, repeat=2):
+def run_level(spark, n, repeat=2, probes_fn=probes):
     out = {}
-    for name, build in probes(spark, n).items():
+    for name, build in probes_fn(spark, n).items():
         best = float("inf")
         for _ in range(repeat):
             t0 = time.perf_counter()
@@ -154,21 +194,23 @@ def main():
     if "--rows-big" in sys.argv:
         big = int(sys.argv[sys.argv.index("--rows-big") + 1])
     cpus = sys.argv[sys.argv.index("--cpus") + 1] if "--cpus" in sys.argv else "32"
+    family = sys.argv[sys.argv.index("--family") + 1] if "--family" in sys.argv else "core"
+    probes_fn = dedup_probes if family == "dedup" else probes
 
     from benthos_spark.session import get_spark
 
     spark = get_spark("ops_scale_probe", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
     print(f"level {small:,}:")
-    a = run_level(spark, small)
+    a = run_level(spark, small, probes_fn=probes_fn)
     print(f"level {big:,}:")
-    b = run_level(spark, big)
+    b = run_level(spark, big, probes_fn=probes_fn)
     spark.stop()
 
     stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
     lines = [
         "",
-        f"## Operator scale probe {stamp} (local[{cpus}], in-plan synthetic input)",
+        f"## Operator scale probe [{family}] {stamp} (local[{cpus}], in-plan synthetic input)",
         "",
         f"Each op at {small:,} and {big:,} rows, min-of-2; `ratio` = big-level",
         "rows/sec over small-level rows/sec — near 1.0 means cost grew linearly",

@@ -143,26 +143,34 @@ REPRESENTATIVE = [
 ]
 
 # Floors, measured 2026-08-17. The representative set must stay fully
-# native; the corpus rate is INFORMATIONAL (its mappings are dynamic-JSON
-# whole-document reshaping — by design interpreter work) but parse failures
-# there are still hard errors.
+# native. Corpus mappings run over message frames, so they are measured in
+# FRAME mode (get_json_object extraction, root filters, whole-root string
+# assignment — r4 verdict ask #7): filtering.yaml and unit_test_example.yaml
+# now compile; the three whole-document JSON reshapers (csv, fans, windowed)
+# are interpreter work by design. Parse failures are hard errors everywhere.
 REPRESENTATIVE_FLOOR = 1.0
+CORPUS_FLOOR = 2 / 5
 
 
-def _try_compile(src):
+def _try_compile(src, frame_mode=False):
     mapping = parse_mapping(src)
+    if frame_mode:
+        cols = {"batch_id": "bigint", "seq": "bigint",
+                "content": "binary", "meta": "map<string,string>"}
+        compile_mapping_to_transform(mapping, cols, frame_mode=True)
+        return
     fields = set()
     _walk_fields(mapping, fields)
     compile_mapping_to_transform(mapping, set(fields))
 
 
-def _report(pairs):
+def _report(pairs, frame_mode=False):
     rows = []
     n_native = 0
     for origin, src in pairs:
         label = f"{origin}: {src.strip().splitlines()[0][:60]}"
         try:
-            _try_compile(src)
+            _try_compile(src, frame_mode=frame_mode)
             rows.append(("native", label, ""))
             n_native += 1
         except CompileError as exc:
@@ -174,13 +182,13 @@ def _report(pairs):
 
 def test_native_compilation_coverage_report(spark):
     rep_rows, rep_native = _report(REPRESENTATIVE)
-    corp_rows, corp_native = _report(CORPUS)
+    corp_rows, corp_native = _report(CORPUS, frame_mode=True)
 
     lines = [
         "bloblang native-compilation coverage:",
         f"  representative typed mappings: {rep_native}/{len(rep_rows)} native",
         f"  reference corpus mappings:     {corp_native}/{len(corp_rows)} native"
-        " (dynamic-JSON reshaping -> interpreter by design)",
+        " (frame mode; whole-document JSON reshaping -> interpreter by design)",
     ]
     for status, label, why in rep_rows + corp_rows:
         lines.append(f"  [{status:10s}] {label}" + (f"  <- {why}" if why else ""))
@@ -190,3 +198,5 @@ def test_native_compilation_coverage_report(spark):
     assert not any(s == "PARSE-FAIL" for s, _, _ in rep_rows + corp_rows), report
     rate = rep_native / len(rep_rows)
     assert rate >= REPRESENTATIVE_FLOOR, report
+    if corp_rows:
+        assert corp_native / len(corp_rows) >= CORPUS_FLOOR, report

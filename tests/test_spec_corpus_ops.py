@@ -269,6 +269,23 @@ class TestSpecCorpusOps:
         docs.coalesce(1).write.mode("overwrite").parquet(stage)
         shutil.copy(sorted(glob.glob(stage + "/part-*.parquet"))[0],
                     src + "/0_docs.parquet")
+        # the jvm default's windowed min only flushes once the watermark
+        # passes a window's end — bounded replays append far-future
+        # sentinel files exactly as the example yaml documents (finalize's
+        # docs join drops them from results)
+        sent_stage = str(tmp_path / "sent_stage")
+        for i, (sid, stext) in enumerate(
+            [(901, "first watermark flush sentinel document entirely unique"),
+             (902, "second watermark flush sentinel document also unique")]
+        ):
+            spark.createDataFrame(
+                [(sid, stext)], "doc_id long, text string",
+            ).withColumn(
+                "ts",
+                F.timestamp_seconds(F.lit(1735689600 + (i + 1) * 30 * 86400)),
+            ).coalesce(1).write.mode("overwrite").parquet(sent_stage)
+            shutil.copy(sorted(glob.glob(sent_stage + "/part-*.parquet"))[0],
+                        src + f"/{i + 1}_sentinel.parquet")
         spec["input"]["stream"]["path"] = src
         spec["output"]["sink"]["path"] = str(tmp_path / "out")
         spec["output"]["sink"]["checkpoint"] = str(tmp_path / "ckpt")

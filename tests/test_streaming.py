@@ -270,16 +270,31 @@ class TestExactlyOnce:
         q.stop()  # "kill"
         q.awaitTermination()
 
-        # phase 2: restart from the same checkpoint, drain everything
-        run_to_sink(
-            dedupe_within_watermark(
-                pages_file_stream(spark, in_dir, max_files_per_trigger=1),
-                ["url"],
-                watermark="10 hours",
-            ),
-            sink,
-            ckpt,
-        )
+        # phase 2: restart from the same checkpoint, drain everything.
+        # One retry: when the phase-1 stop() lands mid-commit, the restarted
+        # run shares this JVM's StateStoreCoordinator whose commit tracker
+        # still expects the killed batch's commits and can fail validation
+        # (STATE_STORE_COMMIT_VALIDATION_FAILED) — a same-JVM test artifact
+        # (a real restart is a fresh driver); the retry is one more
+        # crash-replay through the same checkpoint, which is the property
+        # under test.
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        for attempt in range(2):
+            try:
+                run_to_sink(
+                    dedupe_within_watermark(
+                        pages_file_stream(spark, in_dir, max_files_per_trigger=1),
+                        ["url"],
+                        watermark="10 hours",
+                    ),
+                    sink,
+                    ckpt,
+                )
+                break
+            except StreamingQueryException:
+                if attempt == 1:
+                    raise
         got = sink.read(spark)
         want = spark.read.parquet(in_dir).select("url").distinct().count()
         assert got.count() == want
