@@ -59,10 +59,15 @@ def flagship_pages_pipeline(spark, n_rows: int):
     return pages_windowed_dedupe_agg(df, window_size="10 minutes", hash_key=True)
 
 
+# r5 note: registry consolidation merged several former entries —
+# window_tumbling+window_sliding -> window_tumbling_sliding,
+# dedup_simhash+simhash_pairs -> simhash_family,
+# token_count/quality_score/fingerprint (+3 more) -> textstats_wide,
+# ann_topk+ann_lsh -> ann_bf_lsh. Bench timings for merged queries cover
+# the union of their members' work (compare r4 names accordingly).
 HEADLINE = [
-    "window_tumbling",
+    "window_tumbling_sliding",
     "window_session",
-    "window_sliding",
     "dedupe_first_seen",
     "group_by_value",
     "switch_route",
@@ -70,14 +75,10 @@ HEADLINE = [
     "enrich_join",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "simhash_pairs",
-    "token_count",
-    "quality_score",
-    "ann_topk",
-    "ann_lsh",
+    "simhash_family",
+    "textstats_wide",
+    "ann_bf_lsh",
     "neardup_lsh",
-    "fingerprint",
     "avro_roundtrip",
     "awk_text_stats",
     "grok_apache",

@@ -686,7 +686,27 @@ def compile_mapping_to_transform(
             cc.vars[st.path[0]] = cc.compile(st.expr)
             continue
         if st.kind == "meta":
-            raise CompileError("meta assignment not supported in typed mode")
+            if not frame_mode:
+                raise CompileError("meta assignment not supported in typed mode")
+            # frame mode: metadata is the MAP column. Supported statements —
+            # `meta k = <string expr>` (set), `meta k = deleted()` (unset),
+            # `meta = deleted()` (clear). The interpreter coerces set values
+            # via Go to_string; only statically-string expressions match that
+            # byte-for-byte (double->string diverges: Spark "5.0", Go "5"),
+            # so anything else stays on the interpreter kernel.
+            is_del = isinstance(st.expr, Func) and st.expr.name == "deleted"
+            if not st.path:
+                if is_del:
+                    steps.append(("meta_clear", None))
+                    continue
+                raise CompileError("root meta assignment needs an object (interpreter)")
+            if is_del:
+                steps.append(("meta_del", st.path[0]))
+                continue
+            if _static_type(st.expr, cc) != "string":
+                raise CompileError("meta value must be statically string in frame mode")
+            steps.append(("meta_set", (st.path[0], cc.compile(st.expr))))
+            continue
         if st.kind != "root":
             raise CompileError(f"statement kind {st.kind} not compilable")
         # root = this -> identity; root = match {cond => deleted()} -> filter
@@ -734,6 +754,28 @@ def compile_mapping_to_transform(
                 out = out.drop(payload)
             elif kind == "content":
                 out = out.withColumn(content_col, payload.cast("binary"))
+            elif kind == "meta_clear":
+                # map_filter keeps the map<string,string> type, unlike
+                # an untyped empty map literal
+                out = out.withColumn(
+                    meta_col,
+                    F.map_filter(F.col(meta_col), lambda k, v: F.lit(False)),
+                )
+            elif kind == "meta_del":
+                out = out.withColumn(
+                    meta_col,
+                    F.map_filter(F.col(meta_col), lambda k, v: k != F.lit(payload)),
+                )
+            elif kind == "meta_set":
+                mk, mv = payload
+                # remove any existing key first: map_concat rejects dup keys
+                out = out.withColumn(
+                    meta_col,
+                    F.map_concat(
+                        F.map_filter(F.col(meta_col), lambda k, v: k != F.lit(mk)),
+                        F.create_map(F.lit(mk), mv.cast("string")),
+                    ),
+                )
             else:
                 name, col = payload
                 out = out.withColumn(name, col)

@@ -13,8 +13,8 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, List
 
-from ..bloblang.interp import Part, to_bytes_payload
-from ..bloblang.values import BloblangError, parse_json
+from ..bloblang.interp import InterpolatedField, Part, to_bytes_payload
+from ..bloblang.values import BloblangError, parse_json, serialize
 from .conditions import build_condition
 from .processors import (
     Batch,
@@ -745,6 +745,108 @@ class SubprocessProc(Processor):
         return [out]
 
 
+class SQLProc(Processor):
+    """sql (lib/processor/sql.go:270-305): one query per message batch
+    against a target database; ``args`` are interpolation-resolved against
+    part 0 (sql.go:266 ``v.String(0, result)``). ``result_codec:
+    json_array`` replaces the batch with ONE part — part 0's metadata kept
+    — whose content is the result rows as a JSON array of objects
+    (sql.go:194-231; Go map marshaling sorts keys and formats numbers the
+    Go way, which ``values.serialize`` reproduces); ``none`` executes the
+    statement and leaves the batch unchanged. Any error flags EVERY part
+    (sql.go:286-292) and the batch still flows.
+
+    Backends are DBAPI modules resolved from ``driver``: ``sqlite``
+    (stdlib, the in-sandbox test backend), ``mysql``/``postgres`` gated
+    behind import-try (the reference links those two drivers). The query
+    uses ``?`` placeholders like the reference; they are rewritten to
+    ``%s`` for format-paramstyle drivers.
+
+    Scale note (the Spark-first shape): a per-BATCH callout is
+    driver-bounded by design — micro-batches arrive one at a time, so this
+    kernel runs once per micro-batch, not per row. When the query is
+    row-independent (a dimension lookup), the 100 TB shape is
+    :func:`benthos_spark.ops.foreign.foreign_table` — load the result ONCE
+    as a DataFrame and broadcast-join it, instead of re-querying per batch.
+    """
+
+    name = "sql"
+
+    def __init__(self, conf: Dict[str, Any]):
+        self.driver = str(conf.get("driver", "mysql"))
+        self.dsn = str(conf.get("dsn", ""))
+        self.query = str(conf.get("query", ""))
+        self.args = [InterpolatedField(str(a)) for a in (conf.get("args") or [])]
+        codec = str(conf.get("result_codec", "none"))
+        if codec not in ("none", "json_array"):
+            raise ValueError(f"unrecognised result codec: {codec}")
+        self.codec = codec
+        self._conn = None
+
+    def _connect(self):
+        if self._conn is not None:
+            return self._conn
+        if self.driver == "sqlite":
+            import sqlite3
+
+            self._conn = sqlite3.connect(self.dsn)
+        elif self.driver == "mysql":
+            try:
+                import MySQLdb  # type: ignore
+            except ImportError as exc:  # pragma: no cover - driver not bundled
+                raise RuntimeError(f"mysql driver unavailable: {exc}")
+            self._conn = MySQLdb.connect(self.dsn)  # pragma: no cover
+        elif self.driver == "postgres":
+            try:
+                import psycopg2  # type: ignore
+            except ImportError as exc:  # pragma: no cover - driver not bundled
+                raise RuntimeError(f"postgres driver unavailable: {exc}")
+            self._conn = psycopg2.connect(self.dsn)  # pragma: no cover
+        else:
+            raise RuntimeError(f"unsupported sql driver: {self.driver}")
+        return self._conn
+
+    def _sql_text(self):
+        mod = type(self._conn).__module__.split(".")[0]
+        if mod in ("psycopg2", "MySQLdb"):  # pragma: no cover - format style
+            return self.query.replace("?", "%s")
+        return self.query
+
+    def process(self, batch: Batch, env) -> List[Batch]:
+        args = [a.resolve(env.interp, batch, 0) for a in self.args] if batch else [
+            a.resolve(env.interp, [Part(b"", {})], 0) for a in self.args
+        ]
+        err = None
+        out = list(batch)
+        try:
+            conn = self._connect()
+            cur = conn.cursor()
+            try:
+                cur.execute(self._sql_text(), args)
+                if self.codec == "json_array":
+                    names = [d[0] for d in (cur.description or [])]
+                    rows = cur.fetchall() if cur.description else []
+                    j = [
+                        {
+                            n: (v.decode("utf-8", "replace") if isinstance(v, bytes) else v)
+                            for n, v in zip(names, row)
+                        }
+                        for row in rows
+                    ]
+                    content = serialize(j).encode("utf-8")
+                    keep = batch[0] if batch else Part(b"", {})
+                    out = [Part(content, dict(keep.meta))]
+                else:
+                    conn.commit()
+            finally:
+                cur.close()
+        except Exception as exc:
+            err = f"failed to execute query: {exc}"
+        if err is not None:
+            out = [flag_err(Part(p.content, dict(p.meta)), err) for p in out]
+        return [out]
+
+
 _REGISTRY.update(
     {
         "process_map": ProcessMapProc,
@@ -757,5 +859,6 @@ _REGISTRY.update(
         "json_schema": JSONSchemaProc,
         "avro": AvroProc,
         "subprocess": SubprocessProc,
+        "sql": SQLProc,
     }
 )

@@ -51,7 +51,18 @@ class Stream:
                 self.df = pipe(self.df)
             except CompileError:
                 if not set(FRAME_SCHEMA.fieldNames()).issubset(self.df.columns):
-                    raise
+                    # message-shaped typed input (e.g. inline rows of raw
+                    # JSON in a `content` column): coerce to the frame
+                    # schema so message semantics apply, then retry — the
+                    # frame-native compiler may still carry it with zero
+                    # Python before the interpreter kernel takes over
+                    self.df = self._frameify(self.df)
+                try:
+                    pipe = NativePipeline(procs, dict(self.df.dtypes))
+                    self.df = pipe(self.df)
+                    return
+                except CompileError:
+                    pass
                 # fail fast on bad configs (the reference validates at startup,
                 # lib/config/config.go:177) instead of at first action on an
                 # executor
@@ -61,6 +72,35 @@ class Stream:
                     build_processor(p)
                 self.df = run_frame_pipeline(self.df, procs)
                 self.mode = "frame"
+
+    @staticmethod
+    def _frameify(df: DataFrame) -> DataFrame:
+        """Coerce a `content`-shaped typed DataFrame (string/binary content,
+        optional map meta) to the message-frame schema. Raises the caller's
+        CompileError pattern (ValueError here) for inputs that are neither a
+        frame nor content-shaped — those are genuinely typed pipelines whose
+        mapping failed to compile, and silently frame-ifying them would
+        reinterpret bare column refs as JSON paths."""
+        from pyspark.sql import functions as F
+
+        dtypes = dict(df.dtypes)
+        if dtypes.get("content") not in ("string", "binary") or df.isStreaming:
+            raise ValueError(
+                "pipeline processors not natively compilable and input is "
+                "not message-shaped (needs a string/binary `content` column "
+                "or the full frame schema)"
+            )
+        meta = (
+            F.col("meta")
+            if str(dtypes.get("meta", "")).startswith("map")
+            else F.expr("cast(map() as map<string,string>)")
+        )
+        return df.select(
+            F.lit(0).alias("batch_id"),
+            F.monotonically_increasing_id().alias("seq"),
+            F.col("content").cast("binary").alias("content"),
+            meta.alias("meta"),
+        )
 
     # ------------------------------------------------------------------
     def _build_input(self, conf: Dict[str, Any]) -> DataFrame:

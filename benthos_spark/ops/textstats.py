@@ -107,6 +107,71 @@ def repetition_score(docs: DataFrame, n: int = 2, text_col: str = "text", id_col
     )
 
 
+def textstats_wide(
+    docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All six per-document text signals in ONE codegen projection:
+    token_count, token_count_bpe, lang_id, quality_score, fingerprint and
+    repetition_score, column-for-column identical to running each op
+    separately (equality is test-enforced per column). The 100 TB point:
+    every signal is a pure projection, so one pass over the corpus computes
+    them all — six separate queries rescan the table six times, and a
+    join-based composition would add five doc_id shuffles for what a single
+    ``select`` expresses. Shared subexpressions (the token array feeds four
+    of the six) are computed once per row by codegen's subexpression
+    elimination."""
+    from .textprep import shingles_of
+
+    t = F.col(text_col)
+    # stage 1 materializes the token array: HOF lambdas re-evaluate inlined
+    # expressions per element (see shingles_of), a bound column only once
+    base = docs.select(
+        F.col(id_col),
+        t.isNotNull().alias("has_text"),
+        F.length(t).alias("n_chars"),
+        F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).alias("__alpha"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_RE), F.lit(0))).alias("n_bpe_tokens"),
+        F.substring(F.md5(norm_text(t)), 1, 16).alias("fp"),
+        tokens(t).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    langs = sorted(STOPWORDS)
+    hits = {lang: _count_hits(toks, STOPWORDS[lang]) for lang in langs}
+    best = F.greatest(*[hits[lang] for lang in langs])
+    guess = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        guess = guess.when(hits[lang] == best, F.lit(lang))
+    n_chars = F.col("n_chars")
+    n_toks = F.size(toks)
+    en_hits = _count_hits(toks, STOPWORDS["en"])
+    len_score = F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
+    alpha_ratio = F.when(
+        n_chars > 0, F.col("__alpha").cast("double") / n_chars
+    ).otherwise(0.0)
+    stop_ratio = F.when(n_toks > 0, en_hits.cast("double") / n_toks).otherwise(0.0)
+    score = F.round(
+        0.4 * len_score + 0.3 * alpha_ratio + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)), 4
+    )
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    distinct = F.size(shingles_of(toks, n))
+    return base.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        F.col("n_bpe_tokens"),
+        guess.alias("lang_guess"),
+        best.alias("n_hits"),
+        F.col("has_text"),
+        n_chars,
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        score.alias("quality"),
+        F.col("fp"),
+        total.alias("n_ngrams"),
+        F.when(total > 0, F.round(1.0 - distinct / total, 4)).otherwise(0.0).alias(
+            "repetition"
+        ),
+    )
+
+
 def duplicate_line_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Cross-document duplicate-line signal (C4-style boilerplate detector):
     per document, the fraction of its distinct lines (sentence-ish units —

@@ -144,8 +144,15 @@ def dedup_probes(spark, n):
     from benthos_spark.ops.spans import duplicate_span_stats
 
     group = F.floor(F.col("id") / 3)
+    # xxhash64 mixing, NOT a linear-congruential word id: (g*C + i*D) mod P
+    # cycles every P groups, which silently makes ~n/P whole GROUPS share
+    # identical text — bucket sizes then grow with n and the pair joins go
+    # quadratic (measured: the 10M level exhausted 80 GB of shuffle disk).
     words = [
-        F.concat(F.lit("w"), ((group * 2654435761 + i * 7919) % 50021).cast("string"))
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(group, F.lit(i)), F.lit(1_000_000)).cast("string"),
+        )
         for i in range(12)
     ]
     docs = spark.range(n).select(
@@ -181,6 +188,10 @@ def run_level(spark, n, repeat=2, probes_fn=probes):
             t0 = time.perf_counter()
             _force(build())
             best = min(best, time.perf_counter() - t0)
+            # Drop dead shuffle files NOW: the async ContextCleaner only
+            # removes them on JVM GC, and back-to-back multi-GB pair joins
+            # can exhaust local disk before a natural GC happens.
+            spark.sparkContext._jvm.System.gc()
         out[name] = {"sec": round(best, 3), "rows_per_sec": round(n / best)}
         print(f"  {name}: {best:.2f}s ({n / best:,.0f} rows/s)")
     return out

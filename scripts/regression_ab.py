@@ -24,7 +24,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-TARGETS = ["dedup_simhash", "window_session", "flagship_streaming"]
+# r5: dedup_simhash merged into simhash_family (registry consolidation) —
+# the A/B method stays valid, the target name follows the registry
+TARGETS = ["simhash_family", "window_session", "flagship_streaming"]
 
 
 def child(target: str, sf_dir: str) -> None:

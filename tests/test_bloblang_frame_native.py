@@ -114,6 +114,70 @@ class TestFrameNativeRootAssign:
         out, mode = compile_or_frame(df, [{"bloblang": "root = this\nx = 1"}])
         assert mode == "frame"
 
+    def test_meta_set_delete_clear(self, spark):
+        parts = [('{"id":"a"}', {"keep": "1", "drop": "2"}),
+                 ('{"id":"b"}', {"x": "y"})]
+        conf = [{"bloblang": (
+            'meta added = "v-" + meta("keep").or("none")\n'
+            "meta drop = deleted()"
+        )}]
+        native, interp = both_paths(spark, parts, conf)
+        assert native == interp
+        assert native[0][1] == {"keep": "1", "added": "v-1"}
+        assert native[1][1] == {"x": "y", "added": "v-none"}
+
+        conf2 = [{"bloblang": "meta = deleted()"}]
+        native2, interp2 = both_paths(spark, parts, conf2)
+        assert native2 == interp2
+        assert all(m == {} for _c, m in native2)
+
+    def test_meta_numeric_value_falls_back(self, spark):
+        # Go to_string(5.0) == "5" but Spark cast gives "5.0" — must not
+        # compile natively
+        df = frame(spark, [('{"n":1}', {})])
+        out, mode = compile_or_frame(df, [{"bloblang": "meta x = 1 + 2"}])
+        assert mode == "frame"
+
+    def test_spec_frameifies_content_shaped_input(self, spark):
+        # drive-discovered r5 gap: an inline typed input of raw JSON strings
+        # (schema "content string") must reach message semantics — the spec
+        # runner coerces it to the frame schema and retries native
+        from benthos_spark.engine.spec import run_spec
+
+        out = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [['{"doc":{"should":"remain"},"id":"1"}'],
+                         ['{"doc":{"type":"bar"},"id":"2"}'],
+                         ['{"doc":{"urls":["https://www.benthos.dev/"]},"id":"3"}']],
+                "schema": "content string",
+            }},
+            "pipeline": {"processors": [{"bloblang": FILTERING_MAPPING}]},
+            "output": {"memory": {}},
+        })
+        rows = out.collect()
+        assert len(rows) == 1
+        assert b'"id":"1"' in bytes(rows[0]["content"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+    def test_spec_typed_noncompilable_still_raises(self, spark):
+        # a genuinely typed pipeline (no content column) whose mapping cannot
+        # compile must NOT be silently frame-ified (bare refs would become
+        # JSON paths); it fails fast with a config error
+        import pytest as _pytest
+
+        from benthos_spark.engine.spec import run_spec
+
+        with _pytest.raises(Exception, match="not message-shaped|unknown column"):
+            run_spec(spark, {
+                "input": {"inline": {"rows": [[1, "x"]],
+                                     "schema": "a long, b string"}},
+                "pipeline": {"processors": [
+                    {"bloblang": 'c = b.parse_json().get("k")'}
+                ]},
+                "output": {"memory": {}},
+            })
+
     def test_native_plan_has_no_python(self, spark):
         df = frame(spark, [('{"doc":{"type":"bar"}}', {})])
         out, mode = compile_or_frame(df, [{"bloblang": FILTERING_MAPPING}])

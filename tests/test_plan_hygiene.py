@@ -25,8 +25,10 @@ RULES = (
 
 # named exact baselines whose whole point is the quadratic/broadcast plan
 ALLOW = {
-    "ann_topk": {"BroadcastNestedLoopJoin"},  # brute-force top-k baseline
-    "neardup_embedding_exact_baseline": {"BroadcastNestedLoopJoin"},
+    # merged r5 queries carry their members' named-baseline allowances:
+    # ann_bf_lsh's brute-force half, exact_baselines' exact-cosine half
+    "ann_bf_lsh": {"BroadcastNestedLoopJoin"},
+    "exact_baselines": {"BroadcastNestedLoopJoin"},
 }
 
 BATCH_QUERIES = [n for n in entry_mod.queries() if n not in STREAMING]
