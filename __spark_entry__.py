@@ -1336,17 +1336,34 @@ def q_window_tumbling_sliding(spark, sf_dir):
     return t.unionByName(s)
 
 
-def q_ann_bf_lsh(spark, sf_dir):
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (ops/similarity.ann_topk_ivf): deterministic random
+    codebook (literals shared with the oracle), shuffle-free nearest-cell
+    assignment, nprobe-cell candidate join, exact re-rank."""
+    from benthos_spark.ops.similarity import ann_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        n_centroids=16, nprobe=4, dim=64,
+    )
+
+
+def q_ann_methods(spark, sf_dir):
     """Merges former queries ann_topk (brute-force baseline, allowlisted
-    BNLJ) + ann_lsh (banded SRP scale path) — same (q_id, n_id, cos, rk)
-    shape, union-tagged by method."""
+    BNLJ) + ann_lsh (banded SRP scale path), plus the r5 IVF variant —
+    the three ANN regimes, same (q_id, n_id, cos, rk) shape, union-tagged
+    by method."""
     bf = q_ann_topk(spark, sf_dir).select(
         F.lit("bf").alias("method"), "q_id", "n_id", "cos", "rk"
     )
     lsh = q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "q_id", "n_id", "cos", "rk"
     )
-    return bf.unionByName(lsh)
+    ivf = q_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "q_id", "n_id", "cos", "rk"
+    )
+    return bf.unionByName(lsh).unionByName(ivf)
 
 
 def q_simhash_family(spark, sf_dir):
@@ -1463,7 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash_family": q_simhash_family,
         "neardup_lsh": q_neardup_lsh,
-        "ann_bf_lsh": q_ann_bf_lsh,
+        "ann_methods": q_ann_methods,
         "dedup_clusters": q_dedup_clusters,
     }
 
@@ -1549,6 +1566,65 @@ def _srp_buckets_sql(bands=32, planes=4, dim=64, seed=42, table="embeddings"):
             + f") as bucket from {table}"
         )
     return " union all ".join(selects)
+
+
+def _ivf_sql(n_centroids=16, nprobe=4, k=5, dim=64, seed=7):
+    """DuckDB twin of ops/similarity.ann_topk_ivf: the SAME md5-derived
+    centroid literals, cell scores rounded to 6 decimals on both engines
+    (so ulp-order noise cannot flip an argmax), nearest-cell assignment via
+    row_number (score DESC, cid ASC — the tie-break the Spark op encodes as
+    struct-max over (score, -cid)), nprobe probe cells per query, exact
+    cosine re-rank."""
+    import math
+
+    from benthos_spark.ops.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_centroids, seed=seed)
+
+    def branches(src):
+        outs = []
+        for i, c in enumerate(cents):
+            lit = "[" + ",".join(repr(x) for x in c) + "]"
+            nc = repr(math.sqrt(sum(x * x for x in c)))
+            outs.append(
+                f"select vec_id, embedding, {i} as cid, "
+                f"round(list_sum(list_transform(list_zip(embedding, {lit}::DOUBLE[]),"
+                f" x -> x[1]::DOUBLE * x[2]::DOUBLE)) / "
+                f"(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+                f" * {nc}), 6) as score from {src}"
+            )
+        return " union all ".join(outs)
+
+    return f"""
+with dp as (
+  select vec_id as n_id, embedding as ne, cid from (
+    select *, row_number() over (partition by vec_id order by score desc, cid asc) prk
+    from ({branches("embeddings")})
+  ) where prk <= 1
+),
+qp as (
+  select vec_id as q_id, embedding as qe, cid from (
+    select *, row_number() over (partition by vec_id order by score desc, cid asc) prk
+    from ({branches("(select * from embeddings where vec_id < 10)")})
+  ) where prk <= {nprobe}
+),
+cand as (
+  select distinct q_id, qe, n_id, ne from dp join qp using (cid) where n_id != q_id
+),
+scored as (
+  select q_id, n_id,
+    round(list_sum(list_transform(list_zip(qe, ne), x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+      (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE))) *
+       sqrt(list_sum(list_transform(ne, x -> x::DOUBLE * x::DOUBLE)))), 4) as cos
+  from cand
+),
+rk as (
+  select q_id, n_id, cos,
+    row_number() over (partition by q_id order by cos desc, n_id asc) rk
+  from scored
+)
+select q_id, n_id, cos, rk from rk where rk <= {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2165,10 +2241,12 @@ def oracle_sql() -> dict[str, str]:
         select 'sliding' as kind, win_start, event_type, n, NULL::DOUBLE as sum_value
         from ({sql.pop("window_sliding")})
     """
-    sql["ann_bf_lsh"] = f"""
+    sql["ann_methods"] = f"""
         select 'bf' as method, q_id, n_id, cos, rk from ({sql.pop("ann_topk")})
         union all
         select 'lsh' as method, q_id, n_id, cos, rk from ({sql.pop("ann_lsh")})
+        union all
+        select 'ivf' as method, q_id, n_id, cos, rk from ({_ivf_sql()})
     """
     sql["simhash_family"] = f"""
         select 'value' as part, id as id_a, NULL::BIGINT as id_b, simhash as v

@@ -63,7 +63,7 @@ def flagship_pages_pipeline(spark, n_rows: int):
 # window_tumbling+window_sliding -> window_tumbling_sliding,
 # dedup_simhash+simhash_pairs -> simhash_family,
 # token_count/quality_score/fingerprint (+3 more) -> textstats_wide,
-# ann_topk+ann_lsh -> ann_bf_lsh. Bench timings for merged queries cover
+# ann_topk+ann_lsh(+ivf, r5) -> ann_methods. Bench timings for merged queries cover
 # the union of their members' work (compare r4 names accordingly).
 HEADLINE = [
     "window_tumbling_sliding",
@@ -77,7 +77,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "simhash_family",
     "textstats_wide",
-    "ann_bf_lsh",
+    "ann_methods",
     "neardup_lsh",
     "avro_roundtrip",
     "awk_text_stats",

@@ -233,6 +233,112 @@ def ann_topk_lsh(
     )
 
 
+def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 7) -> list:
+    """Deterministic random codebook for IVF: centroid weight (c, d) is an
+    md5-derived constant in [-1, 1) — the same literal-embedding trick as
+    :func:`srp_planes`, so the DuckDB oracle reproduces the assignment
+    bit-for-bit and IVF results are value-hash-checkable. A k-means-trained
+    codebook (tighter cells, better recall per probe) plugs in via
+    ``ann_topk_ivf(centroids=...)``; the quantizer is deliberately
+    pluggable, the PLAN SHAPE is what this op pins down."""
+    import hashlib
+
+    cents = []
+    for c in range(n_centroids):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"ivf|{seed}|{c}|{d}".encode()).hexdigest()
+            row.append((int(h[:15], 16) % 2001 - 1000) / 1000.0)
+        cents.append(row)
+    return cents
+
+
+def _ivf_score_structs(vec, cents):
+    """Array of struct(score, mcid, cid) per centroid: score = cosine to the
+    centroid rounded to 6 decimals (both engines round, so ulp-order noise
+    cannot flip a comparison), mcid = -cid so struct-max tie-breaks to the
+    LOWEST cid exactly like the oracle's ORDER BY score DESC, cid ASC."""
+    import math
+
+    nv = _norm(vec)
+    outs = []
+    for i, c in enumerate(cents):
+        arr = F.array(*[F.lit(x) for x in c])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nc = math.sqrt(sum(x * x for x in c))
+        score = F.round(dot / (nv * F.lit(nc)), 6)
+        outs.append(
+            F.struct(score.alias("score"), F.lit(-i).alias("mcid"), F.lit(i).alias("cid"))
+        )
+    return F.array(*outs)
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+    centroids: list | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: every vector is assigned to its
+    nearest-centroid cell in ONE shuffle-free projection (``array_max``
+    over (score, -cid) structs — no per-row window), queries probe their
+    ``nprobe`` best cells, and candidates = cell-sharing rows get an exact
+    cosine re-rank. This is the third scale regime next to brute force
+    (small Q) and SRP-LSH (near-dup radii): at 10^12 vectors the cell
+    assignment is a pure map, the probe join is an equi-join on cid, and
+    the re-rank touches ~nprobe/n_centroids of the data. Recall depends on
+    the codebook; the deterministic random codebook keeps the oracle
+    replayable (recall floor tested against brute force separately)."""
+    from pyspark.sql import Window
+
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_centroids, seed)
+    scores = lambda v: _ivf_score_structs(v, cents)  # noqa: E731
+
+    data = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("nv"),
+        F.array_max(scores(F.col(vec_col))).getField("cid").alias("cid"),
+    )
+    # queries: top-nprobe cells, shuffle-free — ascending struct sort on
+    # (score, -cid) then slice from the END: the last nprobe elements are
+    # the highest scores, and within a score tie the larger -cid (= lower
+    # cid) sits later, so the cut prefers low cids exactly like the
+    # oracle's ORDER BY score DESC, cid ASC
+    qscored = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        F.slice(
+            F.array_sort(scores(F.col(vec_col))), -nprobe, nprobe
+        ).alias("probes"),
+    )
+    q = qscored.select("q_id", "qv", F.explode("probes").alias("p")).select(
+        "q_id", "qv", F.col("p.cid").alias("cid")
+    )
+    cand = (
+        data.join(F.broadcast(q), "cid")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "qv", "n_id", "nv")
+        .distinct()
+    )
+    scored = cand.withColumn("cos", F.round(_cos_pd()(F.col("qv"), F.col("nv")), 4))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", "rk")
+    )
+
+
 def derive_banding(
     threshold: float,
     target_recall: float = 0.95,

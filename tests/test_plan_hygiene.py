@@ -26,8 +26,8 @@ RULES = (
 # named exact baselines whose whole point is the quadratic/broadcast plan
 ALLOW = {
     # merged r5 queries carry their members' named-baseline allowances:
-    # ann_bf_lsh's brute-force half, exact_baselines' exact-cosine half
-    "ann_bf_lsh": {"BroadcastNestedLoopJoin"},
+    # ann_methods' brute-force leg, exact_baselines' exact-cosine half
+    "ann_methods": {"BroadcastNestedLoopJoin"},
     "exact_baselines": {"BroadcastNestedLoopJoin"},
 }
 
