@@ -1213,10 +1213,19 @@ def q_repetition_score(spark, sf_dir):
 def q_duplicate_lines(spark, sf_dir):
     """Cross-doc duplicate-line stats (C4-style boilerplate detector); only
     line hashes shuffle, equality verified by the oracle grouping on the
-    line text itself."""
+    line text itself.
+
+    Round-5b extension (same row, more coverage — registry stays at 50):
+    LEFT-joins per-doc benchmark DECONTAMINATION stats
+    (ops/decontaminate.py — GPT-3-style n-gram-overlap flagging; benchmark
+    = the doc_id % 97 == 0 slice standing in for a held-out eval set,
+    broadcast containment join, corpus n-grams never shuffle)."""
+    from benthos_spark.ops.decontaminate import decontaminate
     from benthos_spark.ops.textstats import duplicate_line_stats
 
-    return duplicate_line_stats(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    dec = decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0), n=4)
+    return dec.join(duplicate_line_stats(docs), "doc_id", "left")
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -2171,19 +2180,44 @@ def oracle_sql() -> dict[str, str]:
         "       else 0.0 end as repetition\n"
         "from g"
     )
-    sql["duplicate_lines"] = """
-        with l as (
-          select distinct doc_id as id, trim(u.line) as line
-          from documents, unnest(str_split(text, '.')) u(line)
-          where length(trim(u.line)) > 10
-        ),
-        c as (select line, count(*) as ndocs from l group by line)
-        select l.id as doc_id, count(*) as n_lines,
-               sum(case when c.ndocs > 1 then 1 else 0 end)::BIGINT as n_shared,
-               round(sum(case when c.ndocs > 1 then 1 else 0 end)::DOUBLE / count(*), 4)
-                 as shared_ratio
-        from l join c using (line) group by l.id
-    """
+    # r5b merged row: duplicate-line stats LEFT-joined under per-doc
+    # decontamination stats (benchmark = doc_id % 97 = 0 slice, 4-grams),
+    # composing exactly like q_duplicate_lines does.
+    sql["duplicate_lines"] = (
+        "with l as (\n"
+        "  select distinct doc_id as id, trim(u.line) as line\n"
+        "  from documents, unnest(str_split(text, '.')) u(line)\n"
+        "  where length(trim(u.line)) > 10\n"
+        "),\n"
+        "c as (select line, count(*) as ndocs from l group by line),\n"
+        "dup as (\n"
+        "  select l.id as doc_id, count(*) as n_lines,\n"
+        "         sum(case when c.ndocs > 1 then 1 else 0 end)::BIGINT as n_shared,\n"
+        "         round(sum(case when c.ndocs > 1 then 1 else 0 end)::DOUBLE\n"
+        "               / count(*), 4) as shared_ratio\n"
+        "  from l join c using (line) group by l.id\n"
+        "),\n"
+        "dt as (select doc_id, " + _sql_tokens("text") + " as toks from documents),\n"
+        "dg as (select doc_id, unnest(list_distinct(\n"
+        "         [array_to_string(toks[i:i+3], ' ')\n"
+        "          for i in range(1, greatest(len(toks)-2, 1))])) as ng from dt),\n"
+        "bg as (select distinct ng from dg where doc_id % 97 = 0),\n"
+        "tot as (select doc_id, count(*) as n_ngrams from dg group by doc_id),\n"
+        "hit as (select doc_id, count(*) as n_hit from dg join bg using (ng)\n"
+        "        group by doc_id)\n"
+        "select d.doc_id,\n"
+        "       coalesce(t.n_ngrams, 0)::BIGINT as n_ngrams,\n"
+        "       coalesce(h.n_hit, 0)::BIGINT as n_hit,\n"
+        "       case when coalesce(t.n_ngrams, 0) > 0\n"
+        "            then round(coalesce(h.n_hit, 0)::DOUBLE / t.n_ngrams, 4)\n"
+        "            else 0.0 end as hit_ratio,\n"
+        "       coalesce(h.n_hit, 0) > 0 as contaminated,\n"
+        "       dup.n_lines, dup.n_shared, dup.shared_ratio\n"
+        "from documents d\n"
+        "left join tot t using (doc_id)\n"
+        "left join hit h using (doc_id)\n"
+        "left join dup on dup.doc_id = d.doc_id\n"
+    )
     sql["token_count_bpe"] = r"""
         select doc_id,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))

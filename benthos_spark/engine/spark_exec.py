@@ -827,6 +827,46 @@ class NativePipeline:
             _add_col(cols, c, dt)
         return t
 
+    def _c_decontaminate(self, body, cols):
+        """Benchmark n-gram decontamination (ops/decontaminate.py): annotates
+        every row with (n_ngrams, n_hit, hit_ratio, contaminated) against a
+        benchmark parquet table, optionally dropping contaminated docs
+        (``drop: true``). Batch frames only: the per-doc hit count is an
+        aggregation over exploded n-grams, which has no bounded-state
+        streaming form — run it on the materialized table instead."""
+        path = body["path"]
+        n = int(body.get("n", 5))
+        col = body.get("column", "text")
+        idc = body.get("id_column", "doc_id")
+        bench_col = body.get("benchmark_column", col)
+        flt = body.get("benchmark_filter")
+        drop = bool(body.get("drop", False))
+
+        def t(df):
+            if df.isStreaming:
+                raise RuntimeError(
+                    "decontaminate is batch-only (per-doc n-gram aggregation);"
+                    " run it over the materialized corpus table"
+                )
+            from ..ops.decontaminate import decontaminate
+
+            bench = df.sparkSession.read.parquet(path)
+            if flt:
+                bench = bench.filter(F.expr(flt))
+            stats = decontaminate(
+                df, bench, n=n, text_col=col, id_col=idc,
+                bench_text_col=bench_col,
+            )
+            out = df.join(stats, idc, "left")
+            if drop:
+                out = out.filter(~F.col("contaminated"))
+            return out
+
+        for c, dt in (("n_ngrams", "bigint"), ("n_hit", "bigint"),
+                      ("hit_ratio", "double"), ("contaminated", "boolean")):
+            _add_col(cols, c, dt)
+        return t
+
     def _c_quantiles(self, body, cols):
         """Grouped quantiles (ops/quantiles.py) — terminal aggregation;
         ``mode: exact|approx`` picks the holistic or mergeable-sketch

@@ -361,3 +361,55 @@ class TestRound4Chains:
         rows = out.collect()
         assert len(rows) == 500
         assert any(not r["is_keeper"] for r in rows)
+
+    def test_decontaminate_stage(self, spark, tmp_path):
+        bench_path = str(tmp_path / "benchmark.parquet")
+        spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "bench_id long, text string",
+        ).write.parquet(bench_path)
+        out = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [
+                    [1, "the quick brown fox jumps over the lazy dog"],
+                    [2, "unrelated text about catalyst query planning"],
+                ],
+                "schema": "doc_id long, text string",
+            }},
+            "pipeline": {"processors": [
+                {"decontaminate": {"path": bench_path, "n": 3}},
+            ]},
+            "output": {"memory": {}},
+        })
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["contaminated"] and rows[1]["hit_ratio"] == 1.0
+        assert not rows[2]["contaminated"] and rows[2]["n_hit"] == 0
+        assert rows[1]["text"].startswith("the quick")  # original cols kept
+
+    def test_decontaminate_drop_policy(self, spark, tmp_path):
+        bench_path = str(tmp_path / "benchmark2.parquet")
+        spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "bench_id long, text string",
+        ).write.parquet(bench_path)
+        out = run_spec(spark, {
+            "input": {"inline": {
+                "rows": [
+                    [1, "the quick brown fox jumps over the lazy dog"],
+                    [2, "unrelated text about catalyst query planning"],
+                ],
+                "schema": "doc_id long, text string",
+            }},
+            "pipeline": {"processors": [
+                {"decontaminate": {"path": bench_path, "n": 3, "drop": True}},
+            ]},
+            "output": {"memory": {}},
+        })
+        assert [r["doc_id"] for r in out.collect()] == [2]
+
+    def test_lint_accepts_decontaminate(self):
+        assert lint_spec({
+            "input": {"inline": {"rows": [[1]], "schema": "doc_id long"}},
+            "pipeline": {"processors": [{"decontaminate": {"path": "/x"}}]},
+            "output": {"memory": {}},
+        }) == []
