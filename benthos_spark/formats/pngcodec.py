@@ -172,11 +172,26 @@ def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def pixel_decoder(payload: bytes) -> dict:
     """A real pixel-level decoder for ``ops.multimodal.set_decoder``:
-    PNG payloads get true dims + per-channel means; other formats fall
-    back to header parsing (dims only)."""
+    PNG payloads get true dims from the decoded pixel array, animated GIFs
+    additionally report their composed frame count (formats/gifcodec.py);
+    other formats fall back to header parsing (dims only)."""
     from ..ops.multimodal import header_decode
 
     feats = header_decode(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            from .gifcodec import decode_gif
+
+            frames = decode_gif(payload)
+        except Exception:
+            return feats
+        if frames:
+            h, w = frames[0].px.shape[:2]
+            feats.update(
+                {"decoder": "pixels", "format": "gif", "width": int(w),
+                 "height": int(h), "n_frames": len(frames)}
+            )
+        return feats
     try:
         w, h, c, px = decode_png(payload)
     except ValueError:

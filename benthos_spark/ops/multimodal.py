@@ -19,6 +19,7 @@ instead of bytes-per-partition.
 
 from __future__ import annotations
 
+import struct
 from typing import Callable, Iterator, Optional
 
 import pandas as pd
@@ -225,6 +226,67 @@ def apply_resize(
                     columns=["media_id", "out_png", "src_w", "src_h",
                              "out_w", "out_h"],
                 )
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
+
+
+def apply_frame_sample(
+    df: DataFrame,
+    every_n: int = 10,
+    binary_col: str = "payload",
+    id_col: str = "url",
+    batch_rows: int = 64,
+    reencode_png: bool = True,
+) -> DataFrame:
+    """Execute video-style frame sampling against REAL frames — the
+    execution stage behind :func:`frame_sample_plan`. Animated GIF is the
+    multi-frame format decodable with stdlib only
+    (``formats/gifcodec.py``: LZW + disposal composition), so it stands in
+    for the video container; every ``every_n``-th COMPOSED frame (always
+    including frame 0) is emitted, optionally re-encoded as PNG so the
+    sampled frames feed straight into the image path (``apply_resize``).
+
+    Undecodable rows emit one row with NULL frame fields rather than
+    vanishing, keeping per-media accounting exact. Arrow-batched
+    mapInPandas chunked to ``batch_rows``; media bytes never shuffle —
+    the fan-out to frames happens inside the partition that already holds
+    the blob."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("delay_cs", T.IntegerType()),
+            T.StructField("frame_png", T.BinaryType()),
+        ]
+    )
+    cols = ["media_id", "n_frames", "frame_idx", "width", "height",
+            "delay_cs", "frame_png"]
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..formats.gifcodec import decode_gif
+        from ..formats.pngcodec import encode_png
+
+        for pdf in it:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                rows = []
+                for mid, payload in zip(chunk[id_col], chunk[binary_col]):
+                    try:
+                        frames = decode_gif(bytes(payload))
+                    except (ValueError, IndexError, struct.error):
+                        rows.append((str(mid), None, None, None, None,
+                                     None, None))
+                        continue
+                    for i in range(0, len(frames), every_n):
+                        fr = frames[i]
+                        h, w = fr.px.shape[:2]
+                        png = encode_png(fr.px) if reencode_png else None
+                        rows.append((str(mid), len(frames), i, w, h,
+                                     fr.delay_cs, png))
+                yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
 
