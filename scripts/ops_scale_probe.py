@@ -137,6 +137,7 @@ def dedup_probes(spark, n):
     O(n^2/2^28) — thousands of junk pairs at 20M rows vs ~n real ones."""
     from pyspark.sql import functions as F
 
+    from benthos_spark.ops.decontaminate import decontaminate
     from benthos_spark.ops.dedup import (
         minhash_lsh_pairs, minhash_wide, neardup_anchor, simhash_pairs,
     )
@@ -167,6 +168,11 @@ def dedup_probes(spark, n):
         "simhash_pairs": lambda: simhash_pairs(docs, bits=64),
         "neardup_anchor": lambda: neardup_anchor(docs),
         "dedup_clusters": lambda: dedup_clusters(docs, minhash_lsh_pairs(docs)),
+        # benchmark = every 1000th doc: bench n-gram set grows ~n/1000
+        # (broadcast stays small), hits stay ~3 per bench doc (its 3-group)
+        "decontaminate": lambda: decontaminate(
+            docs, docs.filter(F.col("doc_id") % 1000 == 0), n=4
+        ),
     }
 
 
@@ -206,7 +212,15 @@ def main():
         big = int(sys.argv[sys.argv.index("--rows-big") + 1])
     cpus = sys.argv[sys.argv.index("--cpus") + 1] if "--cpus" in sys.argv else "32"
     family = sys.argv[sys.argv.index("--family") + 1] if "--family" in sys.argv else "core"
-    probes_fn = dedup_probes if family == "dedup" else probes
+    base_fn = dedup_probes if family == "dedup" else probes
+    only = sys.argv[sys.argv.index("--only") + 1].split(",") if "--only" in sys.argv else None
+    if only:
+        probes_fn = lambda spark, n: {  # noqa: E731
+            k: v for k, v in base_fn(spark, n).items() if k in only
+        }
+        family = f"{family}:{','.join(only)}"
+    else:
+        probes_fn = base_fn
 
     from benthos_spark.session import get_spark
 
