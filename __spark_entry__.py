@@ -1169,12 +1169,40 @@ def q_neardup_lsh(spark, sf_dir):
     """Scale-path near-dup default: SRP-banded candidates (equi-join on
     (band, bucket), numpy-matmul bucketing) -> exact cosine re-rank. Fully
     value-checked: the oracle embeds the identical md5-derived plane
-    literals, so both engines compute the same buckets."""
+    literals, so both engines compute the same buckets.
+
+    Round-5b extension (same row, more coverage — registry stays at 50):
+    union-tagged with SEMANTIC DEDUP (ops/kmeans.py, SemDeDup-style:
+    spherical k-means then within-cell min-id-anchor dedup at the same
+    cosine threshold). The oracle replays the entire 2-iteration k-means
+    fit in SQL — codebook literals, rounded assignment scores, rounded
+    per-(cell,pos) centroid averages."""
+    from benthos_spark.ops.kmeans import semantic_dedup
     from benthos_spark.ops.similarity import neardup_lsh_rerank
 
-    return neardup_lsh_rerank(
+    lsh = neardup_lsh_rerank(
         _t(spark, sf_dir, "embeddings"), threshold=0.35, bands=32, planes_per_band=4, dim=64
+    ).select(
+        F.lit("lsh_pair").alias("part"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("cos").alias("score"),
+        F.lit(None).cast("int").alias("cell"),
+        F.lit(None).cast("long").alias("anchor"),
+        F.lit(None).cast("boolean").alias("is_keeper"),
     )
+    sem = semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=0.35
+    ).select(
+        F.lit("semantic").alias("part"),
+        F.col("vec_id").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("cell"),
+        F.col("anchor").cast("long").alias("anchor"),
+        F.col("is_keeper"),
+    )
+    return lsh.unionByName(sem)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1634,6 +1662,75 @@ rk as (
 )
 select q_id, n_id, cos, rk from rk where rk <= {k}
 """
+
+
+def _sql_kmeans_semantic(k=8, iters=2, dim=64, seed=7, threshold=0.35):
+    """DuckDB twin of ops/kmeans.semantic_dedup: replays the ENTIRE
+    spherical-k-means fit — deterministic codebook literals, per-iteration
+    nearest-centroid assignment (score rounded 6dp, ties to lowest cid)
+    and per-(cell,pos) avg centroid update rounded 6dp (both engines use
+    half-away rounding: Spark F.round == DuckDB round) — then the
+    within-cell min-id-anchor dedup at exact cosine rounded 4dp."""
+    from benthos_spark.ops.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, k, seed=seed)
+    vals = ",\n    ".join(
+        "(" + str(i) + ", [" + ",".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    score = (
+        "round(list_sum(list_transform(list_zip(e.embedding, c.cent),"
+        " x -> x[1]::DOUBLE * x[2])) /"
+        " (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(c.cent, x -> x * x)))), 6)"
+    )
+
+    def assign(name, cb, out_cols="vec_id, cid as cell"):
+        return (
+            f"{name} as (select {out_cols} from (\n"
+            f"  select vec_id, cid, row_number() over"
+            f" (partition by vec_id order by score desc, cid asc) rn\n"
+            f"  from (select e.vec_id, c.cid, {score} as score"
+            f" from e, {cb} c)) where rn = 1)"
+        )
+
+    ctes = [
+        "e as (select vec_id, embedding from embeddings)",
+        f"cb0(cid, cent) as (select * from (values {vals}))",
+    ]
+    for it in range(iters):
+        ctes.append(assign(f"a{it}", f"cb{it}"))
+        ctes.append(
+            f"u{it} as (select a{it}.cell, p.pos,"
+            f" round(avg(e.embedding[p.pos]::DOUBLE), 6) m\n"
+            f"  from a{it} join e using (vec_id),"
+            f" generate_series(1, {dim}) p(pos)\n"
+            f"  group by a{it}.cell, p.pos)"
+        )
+        ctes.append(
+            f"cb{it + 1} as (select cb{it}.cid, coalesce(nn.cent, cb{it}.cent)"
+            f" cent\n  from cb{it} left join (select cell as cid,"
+            f" list(m order by pos) cent from u{it} group by cell) nn"
+            f" using (cid))"
+        )
+    ctes.append(assign("fc", f"cb{iters}"))
+    cos_ab = _SQL_COS
+    ctes.append(
+        "pe as (select fc.vec_id, fc.cell, e.embedding"
+        " from fc join e using (vec_id))"
+    )
+    ctes.append(
+        "sp as (select b.vec_id ib, min(a.vec_id) anchor\n"
+        "  from pe a join pe b on a.cell = b.cell and a.vec_id < b.vec_id\n"
+        f"  where round({cos_ab}, 4) >= {threshold}\n"
+        "  group by b.vec_id)"
+    )
+    return (
+        "with " + ",\n".join(ctes) + "\n"
+        "select pe.vec_id, pe.cell, sp.anchor,"
+        " sp.anchor is null as is_keeper\n"
+        "from pe left join sp on sp.ib = pe.vec_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2108,8 +2205,14 @@ def oracle_sql() -> dict[str, str]:
         "with bb as (" + _srp_buckets_sql() + "),\n"
         "cand as (select distinct l.vec_id id_a, l.embedding ea, r.vec_id id_b, r.embedding eb\n"
         "  from bb l join bb r on l.band = r.band and l.bucket = r.bucket and l.vec_id < r.vec_id)\n"
-        "select id_a, id_b, round(" + _cos_ab + ", 4) as cos from cand\n"
-        "where round(" + _cos_ab + ", 4) >= 0.35"
+        "select 'lsh_pair' as part, id_a::BIGINT as id_a, id_b::BIGINT as id_b,\n"
+        "  round(" + _cos_ab + ", 4) as score,\n"
+        "  NULL::INTEGER as cell, NULL::BIGINT as anchor, NULL::BOOLEAN as is_keeper\n"
+        "from cand where round(" + _cos_ab + ", 4) >= 0.35\n"
+        "union all\n"
+        "select 'semantic' as part, vec_id::BIGINT as id_a, NULL::BIGINT as id_b,\n"
+        "  NULL::DOUBLE as score, cell, anchor::BIGINT as anchor, is_keeper\n"
+        "from (" + _sql_kmeans_semantic() + ")"
     )
     _cos_qn = _SQL_COS.replace("a.embedding", "qe").replace("b.embedding", "ne")
     sql["ann_lsh"] = (
