@@ -867,6 +867,42 @@ class NativePipeline:
             _add_col(cols, c, dt)
         return t
 
+    def _c_semantic_dedup(self, body, cols):
+        """SemDeDup-style semantic dedup (ops/kmeans.py): annotates every
+        row with (cell, anchor, is_keeper) from spherical k-means +
+        within-cell cosine anchoring, optionally dropping non-keepers
+        (``drop: true``). Batch frames only: the k-means fit aggregates
+        over the whole corpus."""
+        k = int(body.get("k", 8))
+        iters = int(body.get("iters", 2))
+        threshold = float(body.get("threshold", 0.9))
+        vec = body.get("column", "embedding")
+        idc = body.get("id_column", "vec_id")
+        dim = int(body.get("dim", 64))
+        drop = bool(body.get("drop", False))
+
+        def t(df):
+            if df.isStreaming:
+                raise RuntimeError(
+                    "semantic_dedup is batch-only (corpus-wide k-means fit);"
+                    " run it over the materialized table"
+                )
+            from ..ops.kmeans import semantic_dedup
+
+            stats = semantic_dedup(
+                df, k=k, iters=iters, threshold=threshold,
+                id_col=idc, vec_col=vec, dim=dim,
+            )
+            out = df.join(stats, idc, "left")
+            if drop:
+                out = out.filter(F.col("is_keeper"))
+            return out
+
+        for c, dt in (("cell", "int"), ("anchor", "bigint"),
+                      ("is_keeper", "boolean")):
+            _add_col(cols, c, dt)
+        return t
+
     def _c_quantiles(self, body, cols):
         """Grouped quantiles (ops/quantiles.py) — terminal aggregation;
         ``mode: exact|approx`` picks the holistic or mergeable-sketch

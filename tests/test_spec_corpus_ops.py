@@ -413,3 +413,24 @@ class TestRound4Chains:
             "pipeline": {"processors": [{"decontaminate": {"path": "/x"}}]},
             "output": {"memory": {}},
         }) == []
+
+    def test_semantic_dedup_stage(self, spark):
+        out = run_spec(spark, {
+            "input": {"parquet": {"path": "/root/testdata/sf0.001/embeddings.parquet"}},
+            "pipeline": {"processors": [
+                {"semantic_dedup": {"k": 4, "iters": 2, "threshold": 0.35,
+                                    "drop": True}},
+            ]},
+            "output": {"memory": {}},
+        })
+        rows = out.collect()
+        assert 0 < len(rows)
+        assert all(r["is_keeper"] for r in rows)
+        assert "embedding" in out.columns  # original cols kept
+
+    def test_lint_accepts_semantic_dedup(self):
+        assert lint_spec({
+            "input": {"inline": {"rows": [[1]], "schema": "vec_id long"}},
+            "pipeline": {"processors": [{"semantic_dedup": {"k": 4}}]},
+            "output": {"memory": {}},
+        }) == []
