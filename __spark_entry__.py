@@ -1354,10 +1354,15 @@ def q_textstats_wide(spark, sf_dir):
     quality_score, fingerprint, repetition_score (all r4-green) into the
     one-scan wide projection ops/textstats.textstats_wide — per-column
     equality with the individual ops is test-enforced
-    (tests/test_textstats_wide.py)."""
+    (tests/test_textstats_wide.py). r5: joined with the CCNet-style
+    bigram-LM perplexity score (ops/lmscore.py — train pass over the
+    corpus, score pass joins the model back; Wenzek et al. 2020 recipe
+    with a self-contained oracle-exact LM)."""
+    from benthos_spark.ops.lmscore import bigram_lm_score
     from benthos_spark.ops.textstats import textstats_wide
 
-    return textstats_wide(_t(spark, sf_dir, "documents"), n=2)
+    docs = _t(spark, sf_dir, "documents")
+    return textstats_wide(docs, n=2).join(bigram_lm_score(docs), "doc_id")
 
 
 def q_window_tumbling_sliding(spark, sf_dir):
@@ -1543,6 +1548,25 @@ _SQL_BIGRAMS = (
     "with t as (select doc_id, " + _sql_tokens("text") + " toks from documents),\n"
     "sh as (select distinct doc_id, s from t, "
     "unnest([toks[i] || ' ' || toks[i+1] for i in range(1, greatest(len(toks), 1))]) u(s))"
+)
+
+# Bigram-LM perplexity oracle (ops/lmscore.py twin, alpha = 0.4): train
+# CTEs cnt/hd/v are the model, sc scores every doc bigram against it with
+# add-alpha smoothing, ag averages -log2 p per doc.
+_SQL_LM = (
+    "with t as (select doc_id, " + _sql_tokens("text") + " toks from documents),\n"
+    "bg as (select doc_id, u.s[1] as w1, u.s[2] as w2 from t,\n"
+    "  unnest([[toks[i], toks[i+1]] for i in range(1, greatest(len(toks), 1))]) u(s)),\n"
+    "cnt as (select w1, w2, count(*)::BIGINT as c12 from bg group by 1, 2),\n"
+    "hd as (select w1, sum(c12)::BIGINT as c1 from cnt group by 1),\n"
+    "v as (select count(distinct w2) as vocab from cnt),\n"
+    "sc as (select bg.doc_id,\n"
+    "  -log2((coalesce(cnt.c12, 0) + 0.4) / (coalesce(hd.c1, 0) + 0.4 * v.vocab)) as bits\n"
+    "  from bg left join cnt using (w1, w2) left join hd using (w1), v),\n"
+    "ag as (select doc_id, count(*)::BIGINT as n_bigrams,\n"
+    "  round(avg(bits), 4) as bits_per_bigram from sc group by doc_id)\n"
+    "select d.doc_id, coalesce(ag.n_bigrams, 0)::BIGINT as n_bigrams,\n"
+    "  ag.bits_per_bigram from documents d left join ag using (doc_id)"
 )
 
 _SQL_SESSION = """
@@ -2364,12 +2388,14 @@ def oracle_sql() -> dict[str, str]:
     sql["textstats_wide"] = f"""
         with tc as ({sql.pop("token_count")}), bpe as ({sql.pop("token_count_bpe")}),
              li as ({sql.pop("lang_id")}), qs as ({sql.pop("quality_score")}),
-             fpq as ({sql.pop("fingerprint")}), rp as ({sql.pop("repetition_score")})
+             fpq as ({sql.pop("fingerprint")}), rp as ({sql.pop("repetition_score")}),
+             lm as ({_SQL_LM})
         select tc.doc_id, tc.n_tokens, bpe.n_bpe_tokens, li.lang_guess, li.n_hits,
                qs.has_text, qs.n_chars, qs.alpha_ratio, qs.quality, fpq.fp,
-               rp.n_ngrams, rp.repetition
+               rp.n_ngrams, rp.repetition, lm.n_bigrams, lm.bits_per_bigram
         from tc join bpe using (doc_id) join li using (doc_id)
              join qs using (doc_id) join fpq using (doc_id) join rp using (doc_id)
+             join lm using (doc_id)
     """
     sql["window_tumbling_sliding"] = f"""
         select 'tumbling' as kind, win_start, event_type, n, sum_value

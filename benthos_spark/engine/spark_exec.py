@@ -903,6 +903,41 @@ class NativePipeline:
             _add_col(cols, c, dt)
         return t
 
+    def _c_lm_score(self, body, cols):
+        """CCNet-style corpus-LM perplexity scoring (ops/lmscore.py):
+        annotates every row with (n_bigrams, bits_per_bigram) from an
+        add-alpha-smoothed bigram LM trained on the corpus itself,
+        optionally dropping high-perplexity docs (``max_bits: N`` keeps
+        rows with bits_per_bigram <= N, plus too-short rows with no
+        bigrams unless ``drop_short: true``). Batch frames only: the
+        train pass aggregates over the whole corpus."""
+        alpha = float(body.get("alpha", 0.4))
+        col = body.get("column", "text")
+        idc = body.get("id_column", "doc_id")
+        max_bits = body.get("max_bits")
+        drop_short = bool(body.get("drop_short", False))
+
+        def t(df):
+            if df.isStreaming:
+                raise RuntimeError(
+                    "lm_score is batch-only (corpus-wide LM train pass);"
+                    " run it over the materialized table"
+                )
+            from ..ops.lmscore import bigram_lm_score
+
+            stats = bigram_lm_score(df, alpha=alpha, text_col=col, id_col=idc)
+            out = df.join(stats, idc, "left")
+            if max_bits is not None:
+                keep = F.col("bits_per_bigram") <= float(max_bits)
+                if not drop_short:
+                    keep = keep | F.col("bits_per_bigram").isNull()
+                out = out.filter(keep)
+            return out
+
+        for c, dt in (("n_bigrams", "bigint"), ("bits_per_bigram", "double")):
+            _add_col(cols, c, dt)
+        return t
+
     def _c_quantiles(self, body, cols):
         """Grouped quantiles (ops/quantiles.py) — terminal aggregation;
         ``mode: exact|approx`` picks the holistic or mergeable-sketch
