@@ -1357,12 +1357,20 @@ def q_textstats_wide(spark, sf_dir):
     (tests/test_textstats_wide.py). r5: joined with the CCNet-style
     bigram-LM perplexity score (ops/lmscore.py — train pass over the
     corpus, score pass joins the model back; Wenzek et al. 2020 recipe
-    with a self-contained oracle-exact LM)."""
+    with a self-contained oracle-exact LM) and the DSIR importance
+    weight (ops/dsir.py, Xie et al. 2023 — hashed-n-gram log-ratio vs
+    the deterministic doc_id % 53 = 0 target slice, broadcast model)."""
+    from benthos_spark.ops.dsir import dsir_weights
     from benthos_spark.ops.lmscore import bigram_lm_score
     from benthos_spark.ops.textstats import textstats_wide
 
     docs = _t(spark, sf_dir, "documents")
-    return textstats_wide(docs, n=2).join(bigram_lm_score(docs), "doc_id")
+    dsir = dsir_weights(docs, docs.filter(F.col("doc_id") % 53 == 0))
+    return (
+        textstats_wide(docs, n=2)
+        .join(bigram_lm_score(docs), "doc_id")
+        .join(dsir, "doc_id")
+    )
 
 
 def q_window_tumbling_sliding(spark, sf_dir):
@@ -1567,6 +1575,27 @@ _SQL_LM = (
     "  round(avg(bits), 4) as bits_per_bigram from sc group by doc_id)\n"
     "select d.doc_id, coalesce(ag.n_bigrams, 0)::BIGINT as n_bigrams,\n"
     "  ag.bits_per_bigram from documents d left join ag using (doc_id)"
+)
+
+# DSIR importance-weight oracle (ops/dsir.py twin, B = 4096, alpha = 1.0,
+# target = doc_id % 53 = 0 slice): bf hashes every unigram+bigram
+# occurrence to its bucket, tcp/rcp are the model tables, sc folds the
+# per-feature constant K = ln(Nr+aB) - ln(Nt+aB) in after the per-doc sum.
+_SQL_DSIR = (
+    "with t as (select doc_id, " + _sql_tokens("text") + " toks from documents),\n"
+    "bf as (select doc_id, mod(" + _SQL_MD5_60.format(c="u.f") + ", 4096) as b\n"
+    "  from t, unnest(list_concat(toks,\n"
+    "    [toks[i] || ' ' || toks[i+1] for i in range(1, greatest(len(toks), 1))])) u(f)),\n"
+    "tcp as (select b, count(*)::BIGINT as tc from bf where doc_id % 53 = 0 group by b),\n"
+    "rcp as (select b, count(*)::BIGINT as rc from bf group by b),\n"
+    "tot as (select (select sum(tc) from tcp) as nt, (select sum(rc) from rcp) as nr),\n"
+    "sc as (select bf.doc_id, count(*)::BIGINT as n_feats,\n"
+    "  round(sum(ln(coalesce(tcp.tc, 0) + 1.0) - ln(rcp.rc + 1.0))\n"
+    "        + count(*) * (ln(tot.nr + 4096.0) - ln(tot.nt + 4096.0)), 4) as dsir_weight\n"
+    "  from bf left join tcp using (b) join rcp using (b), tot\n"
+    "  group by bf.doc_id, tot.nt, tot.nr)\n"
+    "select d.doc_id, coalesce(sc.n_feats, 0)::BIGINT as n_feats,\n"
+    "  sc.dsir_weight from documents d left join sc using (doc_id)"
 )
 
 _SQL_SESSION = """
@@ -2389,13 +2418,14 @@ def oracle_sql() -> dict[str, str]:
         with tc as ({sql.pop("token_count")}), bpe as ({sql.pop("token_count_bpe")}),
              li as ({sql.pop("lang_id")}), qs as ({sql.pop("quality_score")}),
              fpq as ({sql.pop("fingerprint")}), rp as ({sql.pop("repetition_score")}),
-             lm as ({_SQL_LM})
+             lm as ({_SQL_LM}), ds as ({_SQL_DSIR})
         select tc.doc_id, tc.n_tokens, bpe.n_bpe_tokens, li.lang_guess, li.n_hits,
                qs.has_text, qs.n_chars, qs.alpha_ratio, qs.quality, fpq.fp,
-               rp.n_ngrams, rp.repetition, lm.n_bigrams, lm.bits_per_bigram
+               rp.n_ngrams, rp.repetition, lm.n_bigrams, lm.bits_per_bigram,
+               ds.n_feats, ds.dsir_weight
         from tc join bpe using (doc_id) join li using (doc_id)
              join qs using (doc_id) join fpq using (doc_id) join rp using (doc_id)
-             join lm using (doc_id)
+             join lm using (doc_id) join ds using (doc_id)
     """
     sql["window_tumbling_sliding"] = f"""
         select 'tumbling' as kind, win_start, event_type, n, sum_value

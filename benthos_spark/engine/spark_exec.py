@@ -938,6 +938,58 @@ class NativePipeline:
             _add_col(cols, c, dt)
         return t
 
+    def _c_dsir(self, body, cols):
+        """DSIR-style importance weighting (ops/dsir.py): annotates every
+        row with (n_feats, dsir_weight) — the hashed-n-gram importance
+        log-ratio of a target corpus vs this corpus — optionally keeping
+        only rows with ``min_weight:`` or above (too-short rows with no
+        features are kept unless ``drop_short: true``). The target is
+        either ``target_path:`` (a parquet table with the same text
+        column) or ``target_filter:`` (a SQL expression selecting the
+        target slice of the input itself). Batch frames only: the train
+        pass aggregates over both corpora."""
+        n_buckets = int(body.get("n_buckets", 4096))
+        alpha = float(body.get("alpha", 1.0))
+        col = body.get("column", "text")
+        idc = body.get("id_column", "doc_id")
+        t_path = body.get("target_path")
+        t_filter = body.get("target_filter")
+        if (t_path is None) == (t_filter is None):
+            raise CompileError(
+                "dsir needs exactly one of target_path / target_filter"
+            )
+        min_weight = body.get("min_weight")
+        drop_short = bool(body.get("drop_short", False))
+
+        def t(df):
+            if df.isStreaming:
+                raise RuntimeError(
+                    "dsir is batch-only (corpus-wide train pass);"
+                    " run it over the materialized table"
+                )
+            from ..ops.dsir import dsir_weights
+
+            target = (
+                df.sparkSession.read.parquet(t_path)
+                if t_path
+                else df.filter(F.expr(t_filter))
+            )
+            stats = dsir_weights(
+                df, target, n_buckets=n_buckets, alpha=alpha,
+                text_col=col, id_col=idc,
+            )
+            out = df.join(stats, idc, "left")
+            if min_weight is not None:
+                keep = F.col("dsir_weight") >= float(min_weight)
+                if not drop_short:
+                    keep = keep | F.col("dsir_weight").isNull()
+                out = out.filter(keep)
+            return out
+
+        for c, dt in (("n_feats", "bigint"), ("dsir_weight", "double")):
+            _add_col(cols, c, dt)
+        return t
+
     def _c_quantiles(self, body, cols):
         """Grouped quantiles (ops/quantiles.py) — terminal aggregation;
         ``mode: exact|approx`` picks the holistic or mergeable-sketch

@@ -123,6 +123,50 @@ def probes(spark, n):
     }
 
 
+def _dup_docs(spark, n):
+    """Synthetic corpus where duplicate structure grows LINEARLY with n:
+    every 3 consecutive doc ids share byte-identical 14-word text.
+
+    xxhash64 mixing, NOT a linear-congruential word id: (g*C + i*D) mod P
+    cycles every P groups, which silently makes ~n/P whole GROUPS share
+    identical text — bucket sizes then grow with n and the pair joins go
+    quadratic (measured: the 10M level exhausted 80 GB of shuffle disk)."""
+    from pyspark.sql import functions as F
+
+    group = F.floor(F.col("id") / 3)
+    words = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(group, F.lit(i)), F.lit(1_000_000)).cast("string"),
+        )
+        for i in range(12)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("the"), *words, F.lit("end")).alias("text"),
+    )
+
+
+def quality_probes(spark, n):
+    """The round-5 corpus-quality family: bigram_lm_score (train + score
+    passes, model table ~n distinct bigrams at this vocab) and
+    dsir_weights (fixed 4096-bucket model, broadcast score join). Same
+    linear-duplicate corpus as the dedup family."""
+    from pyspark.sql import functions as F
+
+    from benthos_spark.ops.dsir import dsir_weights
+    from benthos_spark.ops.lmscore import bigram_lm_score
+
+    docs = _dup_docs(spark, n)
+    return {
+        "bigram_lm_score": lambda: bigram_lm_score(docs),
+        # target = every 1000th doc: target feature table ~n/1000
+        "dsir_weights": lambda: dsir_weights(
+            docs, docs.filter(F.col("doc_id") % 1000 == 0)
+        ),
+    }
+
+
 def dedup_probes(spark, n):
     """The heavy dedup family (round-4 verdict ask #6): minhash_wide,
     minhash_lsh_pairs, duplicate_spans, simhash_pairs, neardup_anchor,
@@ -144,22 +188,7 @@ def dedup_probes(spark, n):
     from benthos_spark.ops.graph import dedup_clusters
     from benthos_spark.ops.spans import duplicate_span_stats
 
-    group = F.floor(F.col("id") / 3)
-    # xxhash64 mixing, NOT a linear-congruential word id: (g*C + i*D) mod P
-    # cycles every P groups, which silently makes ~n/P whole GROUPS share
-    # identical text — bucket sizes then grow with n and the pair joins go
-    # quadratic (measured: the 10M level exhausted 80 GB of shuffle disk).
-    words = [
-        F.concat(
-            F.lit("w"),
-            F.pmod(F.xxhash64(group, F.lit(i)), F.lit(1_000_000)).cast("string"),
-        )
-        for i in range(12)
-    ]
-    docs = spark.range(n).select(
-        F.col("id").alias("doc_id"),
-        F.concat_ws(" ", F.lit("the"), *words, F.lit("end")).alias("text"),
-    )
+    docs = _dup_docs(spark, n)
 
     return {
         "minhash_wide": lambda: minhash_wide(docs),
@@ -212,7 +241,7 @@ def main():
         big = int(sys.argv[sys.argv.index("--rows-big") + 1])
     cpus = sys.argv[sys.argv.index("--cpus") + 1] if "--cpus" in sys.argv else "32"
     family = sys.argv[sys.argv.index("--family") + 1] if "--family" in sys.argv else "core"
-    base_fn = dedup_probes if family == "dedup" else probes
+    base_fn = {"dedup": dedup_probes, "quality": quality_probes}.get(family, probes)
     only = sys.argv[sys.argv.index("--only") + 1].split(",") if "--only" in sys.argv else None
     if only:
         probes_fn = lambda spark, n: {  # noqa: E731
