@@ -909,24 +909,38 @@ class NativePipeline:
         add-alpha-smoothed bigram LM trained on the corpus itself,
         optionally dropping high-perplexity docs (``max_bits: N`` keeps
         rows with bits_per_bigram <= N, plus too-short rows with no
-        bigrams unless ``drop_short: true``). Batch frames only: the
-        train pass aggregates over the whole corpus."""
+        bigrams unless ``drop_short: true``). The in-corpus train pass
+        is batch-only; with ``model_path:`` (a save_lm_model artifact)
+        scoring is stateless and streaming-safe."""
         alpha = float(body.get("alpha", 0.4))
         col = body.get("column", "text")
         idc = body.get("id_column", "doc_id")
+        model_path = body.get("model_path")
         max_bits = body.get("max_bits")
         drop_short = bool(body.get("drop_short", False))
 
         def t(df):
-            if df.isStreaming:
-                raise RuntimeError(
-                    "lm_score is batch-only (corpus-wide LM train pass);"
-                    " run it over the materialized table"
-                )
-            from ..ops.lmscore import bigram_lm_score
+            if model_path is not None:
+                # frozen save_lm_model artifact: stateless broadcast-dict
+                # Arrow kernel — runs on batch AND streaming frames
+                from ..ops.lmscore import lm_score_transform
 
-            stats = bigram_lm_score(df, alpha=alpha, text_col=col, id_col=idc)
-            out = df.join(stats, idc, "left")
+                out = lm_score_transform(
+                    df.sparkSession, model_path, alpha=alpha, text_col=col
+                )(df)
+            else:
+                if df.isStreaming:
+                    raise RuntimeError(
+                        "lm_score without model_path is batch-only"
+                        " (corpus-wide LM train pass); train with"
+                        " save_lm_model and pass model_path to score a stream"
+                    )
+                from ..ops.lmscore import bigram_lm_score
+
+                stats = bigram_lm_score(
+                    df, alpha=alpha, text_col=col, id_col=idc
+                )
+                out = df.join(stats, idc, "left")
             if max_bits is not None:
                 keep = F.col("bits_per_bigram") <= float(max_bits)
                 if not drop_short:
@@ -945,27 +959,44 @@ class NativePipeline:
         only rows with ``min_weight:`` or above (too-short rows with no
         features are kept unless ``drop_short: true``). The target is
         either ``target_path:`` (a parquet table with the same text
-        column) or ``target_filter:`` (a SQL expression selecting the
-        target slice of the input itself). Batch frames only: the train
-        pass aggregates over both corpora."""
+        column), ``target_filter:`` (a SQL expression selecting the
+        target slice of the input itself), or ``model_path:`` (a frozen
+        save_dsir_model artifact — the model becomes ONE in-plan array
+        literal and scoring is a stateless zero-shuffle projection that
+        runs on batch AND streaming frames). The in-corpus train pass
+        (target_path / target_filter) is batch-only."""
         n_buckets = int(body.get("n_buckets", 4096))
         alpha = float(body.get("alpha", 1.0))
         col = body.get("column", "text")
         idc = body.get("id_column", "doc_id")
         t_path = body.get("target_path")
         t_filter = body.get("target_filter")
-        if (t_path is None) == (t_filter is None):
+        m_path = body.get("model_path")
+        if sum(x is not None for x in (t_path, t_filter, m_path)) != 1:
             raise CompileError(
                 "dsir needs exactly one of target_path / target_filter"
+                " / model_path"
             )
         min_weight = body.get("min_weight")
         drop_short = bool(body.get("drop_short", False))
 
         def t(df):
+            if m_path is not None:
+                from ..ops.dsir import dsir_score_transform, load_dsir_model
+
+                lr, k_const, _nb = load_dsir_model(df.sparkSession, m_path)
+                out = dsir_score_transform(lr, k_const, text_col=col)(df)
+                if min_weight is not None:
+                    keep = F.col("dsir_weight") >= float(min_weight)
+                    if not drop_short:
+                        keep = keep | F.col("dsir_weight").isNull()
+                    out = out.filter(keep)
+                return out
             if df.isStreaming:
                 raise RuntimeError(
-                    "dsir is batch-only (corpus-wide train pass);"
-                    " run it over the materialized table"
+                    "dsir without model_path is batch-only (corpus-wide"
+                    " train pass); train with save_dsir_model and pass"
+                    " model_path to score a stream"
                 )
             from ..ops.dsir import dsir_weights
 

@@ -71,6 +71,38 @@ def _bucketed_features(
     )
 
 
+def dsir_model(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """TRAIN: fit the bucket model. Returns ``(model, k_const)`` where
+    model is a ``(b, lr)`` DataFrame (<= n_buckets rows, persisted) and
+    k_const the per-feature constant; both feed :func:`dsir_weights`'s
+    score join or :func:`dsir_score_transform`'s streaming lookup."""
+    rf = _bucketed_features(raw, n_buckets, text_col, id_col)
+    tf = _bucketed_features(target, n_buckets, text_col, id_col)
+
+    # bucket-count model tables (<= n_buckets rows), persisted so the
+    # Nt/Nr scalar actions and the score join reuse one scan each
+    tc = tf.groupBy("b").agg(F.count(F.lit(1)).alias("tc")).persist()
+    rc = rf.groupBy("b").agg(F.count(F.lit(1)).alias("rc")).persist()
+    n_t = tc.agg(F.sum("tc")).first()[0] or 0
+    n_r = rc.agg(F.sum("rc")).first()[0] or 0
+    k_const = math.log(n_r + alpha * n_buckets) - math.log(n_t + alpha * n_buckets)
+    model = tc.join(rc, "b", "full").select(
+        "b",
+        (
+            F.log(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha))
+            - F.log(F.coalesce(F.col("rc"), F.lit(0)) + F.lit(alpha))
+        ).alias("lr"),
+    )
+    return model, k_const
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -84,21 +116,9 @@ def dsir_weights(
     Docs with no tokens have no features: n_feats = 0, weight NULL.
     """
     rf = _bucketed_features(raw, n_buckets, text_col, id_col)
-    tf = _bucketed_features(target, n_buckets, text_col, id_col)
-
-    # TRAIN: bucket-count model tables (<= n_buckets rows), persisted so
-    # the Nt/Nr scalar actions and the score join reuse one scan each
-    tc = tf.groupBy("b").agg(F.count(F.lit(1)).alias("tc")).persist()
-    rc = rf.groupBy("b").agg(F.count(F.lit(1)).alias("rc")).persist()
-    n_t = tc.agg(F.sum("tc")).first()[0] or 0
-    n_r = rc.agg(F.sum("rc")).first()[0] or 0
-    k_const = math.log(n_r + alpha * n_buckets) - math.log(n_t + alpha * n_buckets)
-    model = tc.join(rc, "b", "full").select(
-        "b",
-        (
-            F.log(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha))
-            - F.log(F.coalesce(F.col("rc"), F.lit(0)) + F.lit(alpha))
-        ).alias("lr"),
+    model, k_const = dsir_model(
+        raw, target, n_buckets=n_buckets, alpha=alpha,
+        text_col=text_col, id_col=id_col,
     )
 
     # SCORE: broadcast model equi-join, per-doc aggregation, constant fold
@@ -126,3 +146,106 @@ def dsir_weights(
             F.col("dsir_weight"),
         )
     )
+
+
+def save_dsir_model(
+    raw: DataFrame,
+    target: DataFrame,
+    path: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fit and materialize the model as a parquet artifact: rows
+    ``(b, lr)`` plus one metadata row ``(b = -1, lr = k_const)`` — a
+    single self-contained file, no sidecar. The train/score split this
+    enables is the production shape: fit once on a corpus snapshot,
+    score any batch OR STREAM against the frozen artifact."""
+    model, k_const = dsir_model(
+        raw, target, n_buckets=n_buckets, alpha=alpha,
+        text_col=text_col, id_col=id_col,
+    )
+    meta = model.sparkSession.createDataFrame(
+        [(-1, float(k_const)), (-2, float(n_buckets))], "b int, lr double"
+    )
+    model.select(F.col("b").cast("int"), "lr").unionByName(meta).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_dsir_model(spark, path: str):
+    """-> (lr_by_bucket: list[float], k_const, n_buckets). The whole
+    artifact is <= n_buckets + 2 rows — a driver-side literal by design
+    (contrast the corpus-sized LM model, which stays distributed)."""
+    rows = spark.read.parquet(path).collect()
+    k_const = n_buckets = None
+    by_b = {}
+    for r in rows:
+        if r["b"] == -1:
+            k_const = r["lr"]
+        elif r["b"] == -2:
+            n_buckets = int(r["lr"])
+        else:
+            by_b[r["b"]] = r["lr"]
+    if k_const is None or n_buckets is None:
+        raise ValueError(f"dsir model at {path} is missing metadata rows")
+    return [by_b.get(b, 0.0) for b in range(n_buckets)], k_const, n_buckets
+
+
+def dsir_score_transform(
+    lr_by_bucket: list,
+    k_const: float,
+    text_col: str = "text",
+    out_feats: str = "n_feats",
+    out_weight: str = "dsir_weight",
+):
+    """STREAMING-SAFE scorer: df -> df with (n_feats, dsir_weight) added.
+
+    The model rides along as ONE ArrayType literal (n_buckets doubles)
+    and the per-doc weight is a higher-order-function fold over the
+    row's own feature array — no join, no aggregation, no state, no
+    Python: a stateless projection that Structured Streaming runs
+    per-micro-batch with zero shuffle, and that at 100 TB scales as a
+    pure map over the stream. Exactly the formula of
+    :func:`dsir_weights` (equality is test-enforced)."""
+    n_buckets = len(lr_by_bucket)
+    lr_arr = F.lit([float(x) for x in lr_by_bucket])
+
+    def t(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        bi_idx = F.when(
+            F.size("__t") >= 2, F.sequence(F.lit(1), F.size("__t") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        feats = F.concat(
+            F.col("__t"),
+            F.transform(
+                bi_idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+                ),
+            ),
+        )
+        score = F.aggregate(
+            F.col("__f"),
+            F.lit(0.0),
+            lambda acc, f: acc
+            + F.element_at(
+                lr_arr, (F.pmod(md5_60bit(f), F.lit(n_buckets)) + 1).cast("int")
+            ),
+        )
+        return (
+            df.withColumn("__t", toks)
+            .withColumn("__f", feats)
+            .withColumn(out_feats, F.size("__f").cast("long"))
+            .withColumn(
+                out_weight,
+                F.when(
+                    F.col(out_feats) > 0,
+                    F.round(score + F.col(out_feats) * F.lit(k_const), 4),
+                ),
+            )
+            .drop("__t", "__f")
+        )
+
+    return t

@@ -115,3 +115,72 @@ def test_compile_rejects_ambiguous_target():
         "pipeline": {"processors": [{"dsir": {"target_filter": "doc_id = 1"}}]},
         "output": {"memory": {}},
     }) == []
+
+
+class TestFrozenModel:
+    """save_dsir_model artifact + dsir_score_transform: the model is one
+    in-plan array literal, the score a stateless zero-shuffle projection
+    that must equal the batch join formula exactly."""
+
+    def test_transform_matches_batch_op(self, spark, tmp_path):
+        from benthos_spark.ops.dsir import (
+            dsir_score_transform, dsir_weights, load_dsir_model,
+            save_dsir_model,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.filter(F.col("doc_id") % 53 == 0)
+        mp = str(tmp_path / "dsir_model")
+        save_dsir_model(docs, target, mp)
+        lr, k_const, nb = load_dsir_model(spark, mp)
+        assert nb == 4096 and len(lr) == 4096
+        got = {
+            r["doc_id"]: (r["n_feats"], r["dsir_weight"])
+            for r in dsir_score_transform(lr, k_const)(docs)
+            .select("doc_id", "n_feats", "dsir_weight")
+            .collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_feats"], r["dsir_weight"])
+            for r in dsir_weights(docs, target).collect()
+        }
+        assert got == want
+
+    def test_transform_plan_stateless(self, spark, tmp_path):
+        from benthos_spark.ops.dsir import (
+            dsir_score_transform, load_dsir_model, save_dsir_model,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        mp = str(tmp_path / "dsir_model")
+        save_dsir_model(docs, docs.filter(F.col("doc_id") % 53 == 0), mp)
+        lr, k_const, _ = load_dsir_model(spark, mp)
+        plan = dsir_score_transform(lr, k_const)(docs)._jdf.queryExecution() \
+            .executedPlan().toString().split("== Initial Plan ==")[0]
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_streaming_spec_with_model(self, spark, tmp_path):
+        from benthos_spark.ops.dsir import save_dsir_model
+        from benthos_spark.streaming.sink import IdempotentSink
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(60)
+        mp = str(tmp_path / "dsir_model")
+        save_dsir_model(docs, docs.filter(F.col("doc_id") % 7 == 0), mp)
+        in_dir = str(tmp_path / "in")
+        docs.coalesce(1).write.parquet(in_dir)
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+        )
+        run_spec(spark, {
+            "input": {"stream": {"format": "parquet", "path": in_dir,
+                                 "schema": ddl}},
+            "pipeline": {"processors": [{"dsir": {"model_path": mp}}]},
+            "output": {"sink": {"path": str(tmp_path / "out"),
+                                "checkpoint": str(tmp_path / "ckpt")}},
+        })
+        got = IdempotentSink(str(tmp_path / "out")).read(spark)
+        assert got.count() == 60
+        assert {"n_feats", "dsir_weight"} <= set(got.columns)

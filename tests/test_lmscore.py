@@ -79,3 +79,94 @@ def test_lint_accepts_lm_score():
         "pipeline": {"processors": [{"lm_score": {"alpha": 0.4}}]},
         "output": {"memory": {}},
     }) == []
+
+
+class TestFrozenModel:
+    """save_lm_model artifact + lm_score_transform (batch & streaming)."""
+
+    def test_transform_matches_batch_op(self, spark, tmp_path):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        mp = str(tmp_path / "lm_model")
+        from benthos_spark.ops.lmscore import lm_score_transform, save_lm_model
+
+        save_lm_model(docs, mp)
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["bits_per_bigram"])
+            for r in lm_score_transform(spark, mp)(docs)
+            .select("doc_id", "n_bigrams", "bits_per_bigram")
+            .collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_bigrams"], r["bits_per_bigram"])
+            for r in bigram_lm_score(docs).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            if want[k][1] is None:
+                assert got[k][1] is None
+            else:
+                assert abs(got[k][1] - want[k][1]) <= 1e-4
+
+    def test_streaming_score_through_sink(self, spark, tmp_path):
+        from benthos_spark.ops.lmscore import lm_score_transform, save_lm_model
+        from benthos_spark.streaming.sink import IdempotentSink, run_to_sink
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(100)
+        mp = str(tmp_path / "lm_model")
+        save_lm_model(docs, mp)
+        in_dir = str(tmp_path / "in")
+        docs.coalesce(1).write.parquet(in_dir)
+        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+        scored = lm_score_transform(spark, mp)(stream).select(
+            "doc_id", "n_bigrams", "bits_per_bigram"
+        )
+        sink = IdempotentSink(str(tmp_path / "out"))
+        run_to_sink(scored, sink, str(tmp_path / "ckpt"))
+        got = {
+            r["doc_id"]: r["n_bigrams"] for r in sink.read(spark).collect()
+        }
+        want = {
+            r["doc_id"]: r["n_bigrams"]
+            for r in lm_score_transform(spark, mp)(docs)
+            .select("doc_id", "n_bigrams")
+            .collect()
+        }
+        assert got == want
+
+    def test_model_row_budget(self, spark, tmp_path):
+        from benthos_spark.ops.lmscore import lm_score_transform, save_lm_model
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        mp = str(tmp_path / "lm_model")
+        save_lm_model(docs, mp)
+        with pytest.raises(ValueError, match="max_model_rows"):
+            lm_score_transform(spark, mp, max_model_rows=10)
+
+    def test_spec_stage_streaming_with_model(self, spark, tmp_path):
+        from benthos_spark.ops.lmscore import save_lm_model
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(50)
+        mp = str(tmp_path / "lm_model")
+        save_lm_model(docs, mp)
+        in_dir = str(tmp_path / "in")
+        docs.coalesce(1).write.parquet(in_dir)
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+        )
+        from benthos_spark.streaming.sink import IdempotentSink
+
+        run_spec(spark, {
+            "input": {"stream": {"format": "parquet", "path": in_dir,
+                                 "schema": ddl}},
+            "pipeline": {"processors": [{"lm_score": {"model_path": mp}}]},
+            "output": {"sink": {"path": str(tmp_path / "out"),
+                                "checkpoint": str(tmp_path / "ckpt")}},
+        })
+        got = IdempotentSink(str(tmp_path / "out")).read(spark)
+        assert got.count() == 50
+        assert "bits_per_bigram" in got.columns
