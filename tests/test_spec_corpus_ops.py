@@ -434,3 +434,27 @@ class TestRound4Chains:
             "pipeline": {"processors": [{"semantic_dedup": {"k": 4}}]},
             "output": {"memory": {}},
         }) == []
+
+
+@pytest.mark.spark
+class TestTrainingDataPipelineExample:
+    def test_example_runs_end_to_end(self, spark, tmp_path):
+        import yaml
+
+        with open("/root/repo/examples/training_data_pipeline.yaml") as f:
+            spec = yaml.safe_load(f)
+        assert lint_spec(spec) == []
+        out_dir = str(tmp_path / "tdp")
+        spec["output"]["parquet"]["path"] = out_dir
+        run_spec(spark, spec)
+        back = spark.read.parquet(out_dir)
+        n = back.count()
+        # dedupe + decontamination drop a few; the bulk survives with the
+        # full quality-column complement
+        assert 400 < n < 500
+        assert {"bits_per_bigram", "dsir_weight", "contaminated",
+                "kept_ratio"} <= set(back.columns)
+        assert back.filter(F.col("contaminated")).count() == 0
+        assert back.filter(F.col("bits_per_bigram") > 12.0).count() == 0
+        # partitioned-by-lang layout
+        assert back.select("lang").distinct().count() == 5
