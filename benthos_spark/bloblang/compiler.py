@@ -287,6 +287,17 @@ class ColumnCompiler:
             # usage-typed coercion for dynamic JSON refs: a get_json_object
             # extraction is STRING — compared against a statically-numeric
             # other side, coerce it so 10 > 9 (not "10" < "9")
+            if self.is_dynamic_json(node.left) and self.is_dynamic_json(node.right):
+                lt = _static_type(node.left, self)
+                rt = _static_type(node.right, self)
+                if lt is None and rt is None:
+                    # two dynamic refs: JSON numbers compare numerically,
+                    # strings lexicographically — the choice needs runtime
+                    # types, so a string compare here would silently give
+                    # 9 > 10 on numeric fields. Same rule as dynamic '+'.
+                    raise CompileError(
+                        "comparison of two dynamic values needs runtime types"
+                    )
             if self.is_dynamic_json(node.left) and _static_type(node.right, self) == "number":
                 left = _num(left)
             if self.is_dynamic_json(node.right) and _static_type(node.left, self) == "number":
@@ -681,7 +692,17 @@ def compile_mapping_to_transform(
         cc.dtypes.pop(name, None)
         if isinstance(columns, dict):
             columns.pop(name, None)
+    content_replaced = False
     for st in mapping.statements:
+        if content_replaced:
+            # After a whole-root content replacement, compiled expressions
+            # would read the NEW content column (withColumn already applied)
+            # while the interpreter resolves field refs against the input
+            # document throughout (exec ctx `this` is the input part). No
+            # later statement is safe natively — fall back.
+            raise CompileError(
+                "statements after whole-root replacement need the interpreter"
+            )
         if st.kind == "let":
             cc.vars[st.path[0]] = cc.compile(st.expr)
             continue
@@ -728,6 +749,7 @@ def compile_mapping_to_transform(
             if frame_mode and _static_type(st.expr, cc) == "string":
                 # whole-root STRING assignment = replace the message content
                 steps.append(("content", cc.compile(st.expr)))
+                content_replaced = True
                 continue
             raise CompileError("whole-root reshaping not supported in typed mode")
         if frame_mode:

@@ -786,24 +786,16 @@ class SQLProc(Processor):
     def _connect(self):
         if self._conn is not None:
             return self._conn
-        if self.driver == "sqlite":
-            import sqlite3
+        # one driver table for the whole package: ops.foreign owns the
+        # driver-name -> DBAPI dispatch (foreign_table shares it)
+        from ..ops.foreign import _dbapi_connect
 
-            self._conn = sqlite3.connect(self.dsn)
-        elif self.driver == "mysql":
-            try:
-                import MySQLdb  # type: ignore
-            except ImportError as exc:  # pragma: no cover - driver not bundled
-                raise RuntimeError(f"mysql driver unavailable: {exc}")
-            self._conn = MySQLdb.connect(self.dsn)  # pragma: no cover
-        elif self.driver == "postgres":
-            try:
-                import psycopg2  # type: ignore
-            except ImportError as exc:  # pragma: no cover - driver not bundled
-                raise RuntimeError(f"postgres driver unavailable: {exc}")
-            self._conn = psycopg2.connect(self.dsn)  # pragma: no cover
-        else:
-            raise RuntimeError(f"unsupported sql driver: {self.driver}")
+        try:
+            self._conn = _dbapi_connect(self.driver, self.dsn)
+        except ImportError as exc:  # pragma: no cover - driver not bundled
+            raise RuntimeError(f"{self.driver} driver unavailable: {exc}")
+        except ValueError as exc:
+            raise RuntimeError(str(exc))
         return self._conn
 
     def _sql_text(self):

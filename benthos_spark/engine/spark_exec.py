@@ -152,6 +152,11 @@ _SIDE_EFFECTING_ROW_LOCAL = frozenset({"subprocess"})
 # partitions (the old dense-per-chunk renumbering collided whenever a batch
 # spanned chunks), and output order follows input seq order.
 _FANOUT_SEQ_BASE = 1 << 20
+# Largest input seq the fan-out encoding can carry without int64 overflow.
+# Frameified inputs seeded from monotonically_increasing_id (partition_id
+# << 33 | row) exceed this from partition 1024 on — those chains must run
+# grouped, where seq is densely renumbered per batch.
+_FANOUT_SEQ_MAX = (2**63 - 1) >> 20
 
 
 def _rowlocal_kernel(conf_json: str, side_effecting: bool = False):
@@ -214,6 +219,14 @@ def _rowlocal_kernel(conf_json: str, side_effecting: bool = False):
                             raise RuntimeError(
                                 "row-local fan-out exceeds seq base "
                                 f"({_FANOUT_SEQ_BASE}); run this chain in "
+                                "grouped mode"
+                            )
+                        if not one_to_one and int(in_seq) > _FANOUT_SEQ_MAX:
+                            raise RuntimeError(
+                                f"input seq {int(in_seq)} too large for the "
+                                "row-local fan-out encoding (sparse seqs, "
+                                "e.g. monotonically_increasing_id past "
+                                "partition 1023); run this chain in "
                                 "grouped mode"
                             )
                         s = (
@@ -1110,6 +1123,15 @@ class NativePipeline:
             self._watermarked = True
 
         impl = body.get("impl", "jvm")
+        if impl == "exact":
+            # pre-r5 name for the applyInPandasWithState op (then the
+            # default). Falling through to jvm would silently change flush
+            # semantics (windowed-agg emission vs per-row) — map it.
+            impl = "exact_py"
+        if impl not in ("jvm", "exact_py", "builtin"):
+            raise ValueError(
+                f"neardup impl {impl!r} not one of jvm/exact_py/builtin"
+            )
         lookback = body.get("lookback", "24 hours")
         agg_window = body.get("window", "6 hours")
 

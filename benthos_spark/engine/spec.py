@@ -49,20 +49,30 @@ class Stream:
             try:
                 pipe = NativePipeline(procs, dict(self.df.dtypes))
                 self.df = pipe(self.df)
-            except CompileError:
+            except CompileError as native_err:
                 if not set(FRAME_SCHEMA.fieldNames()).issubset(self.df.columns):
                     # message-shaped typed input (e.g. inline rows of raw
                     # JSON in a `content` column): coerce to the frame
                     # schema so message semantics apply, then retry — the
                     # frame-native compiler may still carry it with zero
-                    # Python before the interpreter kernel takes over
-                    self.df = self._frameify(self.df)
-                try:
-                    pipe = NativePipeline(procs, dict(self.df.dtypes))
-                    self.df = pipe(self.df)
-                    return
-                except CompileError:
-                    pass
+                    # Python before the interpreter kernel takes over.
+                    # A typed input that is NOT content-shaped is a
+                    # genuinely typed pipeline whose mapping failed to
+                    # compile: surface the ORIGINAL CompileError (e.g.
+                    # "unknown column x"), not a shape complaint.
+                    try:
+                        self.df = self._frameify(self.df)
+                    except ValueError:
+                        raise native_err
+                    try:
+                        pipe = NativePipeline(procs, dict(self.df.dtypes))
+                        self.df = pipe(self.df)
+                        return
+                    except CompileError:
+                        pass
+                # already frame-shaped: retrying NativePipeline with the
+                # same args would fail identically — go straight to the
+                # interpreter kernel
                 # fail fast on bad configs (the reference validates at startup,
                 # lib/config/config.go:177) instead of at first action on an
                 # executor

@@ -86,10 +86,14 @@ def dsir_model(
     rf = _bucketed_features(raw, n_buckets, text_col, id_col)
     tf = _bucketed_features(target, n_buckets, text_col, id_col)
 
-    # bucket-count model tables (<= n_buckets rows), persisted so the
-    # Nt/Nr scalar actions and the score join reuse one scan each
-    tc = tf.groupBy("b").agg(F.count(F.lit(1)).alias("tc")).persist()
-    rc = rf.groupBy("b").agg(F.count(F.lit(1)).alias("rc")).persist()
+    # bucket-count model tables (<= n_buckets rows), materialized so the
+    # Nt/Nr scalar actions and the model build reuse one scan each.
+    # localCheckpoint + explicit unpersist-equivalent, not persist():
+    # persist pins the plans in the CacheManager for the session lifetime
+    # (no caller of a lazy-result function can place the unpersist);
+    # checkpoint blocks are ContextCleaner-freed once unreferenced.
+    tc = tf.groupBy("b").agg(F.count(F.lit(1)).alias("tc")).localCheckpoint(eager=True)
+    rc = rf.groupBy("b").agg(F.count(F.lit(1)).alias("rc")).localCheckpoint(eager=True)
     n_t = tc.agg(F.sum("tc")).first()[0] or 0
     n_r = rc.agg(F.sum("rc")).first()[0] or 0
     k_const = math.log(n_r + alpha * n_buckets) - math.log(n_t + alpha * n_buckets)

@@ -37,7 +37,13 @@ def global_row_number(
     ranged = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()  # two consumers: the K-row count and the final plan
+        # two consumers: the K-row count and the final plan. localCheckpoint,
+        # not persist(): persist pins the plan in the CacheManager until an
+        # unpersist no caller of a lazy-result helper can place (leaks
+        # across calls in a long session); checkpoint blocks are
+        # ContextCleaner-freed on GC, and freezing the materialized rows
+        # also pins _pid against any recompute.
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["_pid"], r["_n"])
@@ -75,7 +81,8 @@ def global_running_sum(
         df.repartitionByRange(n, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_v", val.cast("long"))
-        .persist()
+        # same localCheckpoint-not-persist rationale as global_row_number
+        .localCheckpoint(eager=True)
     )
     sums = sorted(
         (r["_pid"], r["_s"])

@@ -69,13 +69,20 @@ def bigram_lm_score(
     big = _doc_bigrams(docs, text_col, id_col)
 
     # TRAIN: materialize the model once. The vocab scalar V is an eager
-    # 1-value action, so without the persist the bigram aggregation (a full
-    # corpus scan) would run twice — with it, the corpus is scanned once at
-    # train time and the cached model table (vocab^2-bounded, tiny relative
-    # to the corpus) feeds the V count, the unigram rollup AND the scoring
-    # joins. This mirrors the real train/score pipeline shape, where the
-    # model is a materialized artifact between the two passes.
-    counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    # 1-value action, so without materialization the bigram aggregation (a
+    # full corpus scan) would run twice — with it, the corpus is scanned
+    # once at train time and the model table (vocab^2-bounded, tiny
+    # relative to the corpus) feeds the V count, the unigram rollup AND
+    # the scoring joins. localCheckpoint, not persist(): persist pins the
+    # plan in the SQL CacheManager until an unpersist that no caller of a
+    # lazy-result function can place, leaking storage across repeated
+    # calls in a long-lived session; checkpoint blocks are freed by the
+    # ContextCleaner once the result is garbage-collected.
+    counts = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     heads = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = counts.select("w2").distinct().count()
 
@@ -147,6 +154,18 @@ def lm_score_transform(
     in batch with :func:`bigram_lm_score`'s distributed join instead."""
     import math as _math
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round4(x: float) -> float:
+        # Match the batch op's F.round(..., 4): Spark rounds doubles via
+        # BigDecimal(Double.toString(x)).setScale(4, HALF_UP) — i.e.
+        # HALF_UP over the shortest decimal repr. Python round() is
+        # half-even over the binary double and diverges on ...5 ties, so
+        # batch and frozen-model scores for the same doc would differ.
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
     counts = spark.read.parquet(model_path)
     probed = counts.limit(max_model_rows + 1).count()
     if probed > max_model_rows:
@@ -207,7 +226,7 @@ def lm_score_transform(
                             / (m1.get(w1, 0) + av)
                         )
                     ns.append(n)
-                    bits.append(round(s / n, 4))
+                    bits.append(_round4(s / n))
                 pb[out_n] = ns
                 pb[out_bits] = bits
                 yield pb

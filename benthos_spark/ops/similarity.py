@@ -302,6 +302,10 @@ def ann_topk_ivf(
     from pyspark.sql import Window
 
     cents = centroids if centroids is not None else ivf_centroids(dim, n_centroids, seed)
+    # nprobe > cells would slice(-nprobe) past the array start, which in
+    # Spark yields [] — every query would silently get ZERO candidates.
+    # Probing every cell (= brute force) is the meaningful reading.
+    nprobe = min(int(nprobe), len(cents))
     scores = lambda v: _ivf_score_structs(v, cents)  # noqa: E731
 
     data = emb.select(

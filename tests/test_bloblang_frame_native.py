@@ -163,12 +163,14 @@ class TestFrameNativeRootAssign:
     def test_spec_typed_noncompilable_still_raises(self, spark):
         # a genuinely typed pipeline (no content column) whose mapping cannot
         # compile must NOT be silently frame-ified (bare refs would become
-        # JSON paths); it fails fast with a config error
+        # JSON paths); it fails fast with the ORIGINAL CompileError — not a
+        # misleading input-shape complaint (r5 review finding)
         import pytest as _pytest
 
+        from benthos_spark.bloblang.compiler import CompileError
         from benthos_spark.engine.spec import run_spec
 
-        with _pytest.raises(Exception, match="not message-shaped|unknown column"):
+        with _pytest.raises(CompileError, match="parse_json needs a schema"):
             run_spec(spark, {
                 "input": {"inline": {"rows": [[1, "x"]],
                                      "schema": "a long, b string"}},
