@@ -34,6 +34,12 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
+# Everything a malformed-but-signature-valid PNG can raise out of
+# decode_png: ValueError (our own validation), zlib.error (corrupt IDAT),
+# struct.error (truncated IHDR), IndexError (palette index >= PLTE size).
+# Callers implementing NULL-passthrough must catch THIS, not ValueError.
+DECODE_ERRORS = (ValueError, zlib.error, struct.error, IndexError)
+
 # color type -> channels in the filtered stream
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -172,12 +178,25 @@ def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def pixel_decoder(payload: bytes) -> dict:
     """A real pixel-level decoder for ``ops.multimodal.set_decoder``:
-    PNG payloads get true dims from the decoded pixel array, animated GIFs
-    additionally report their composed frame count (formats/gifcodec.py);
-    other formats fall back to header parsing (dims only)."""
+    PNG and BMP payloads get true dims from the decoded pixel array,
+    animated GIFs additionally report their composed frame count
+    (formats/gifcodec.py); other formats fall back to header parsing
+    (dims only)."""
     from ..ops.multimodal import header_decode
 
     feats = header_decode(payload)
+    if payload[:2] == b"BM":
+        from .bmpcodec import DECODE_ERRORS as BMP_ERRORS, decode_bmp
+
+        try:
+            w, h, _c, _px = decode_bmp(payload)
+        except BMP_ERRORS:
+            return feats
+        feats.update(
+            {"decoder": "pixels", "format": "bmp", "width": int(w),
+             "height": int(h)}
+        )
+        return feats
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         try:
             from .gifcodec import decode_gif
@@ -194,7 +213,7 @@ def pixel_decoder(payload: bytes) -> dict:
         return feats
     try:
         w, h, c, px = decode_png(payload)
-    except ValueError:
+    except DECODE_ERRORS:
         return feats
     feats.update(
         {"decoder": "pixels", "format": "png", "width": int(w), "height": int(h)}

@@ -182,10 +182,11 @@ def apply_resize(
     no-op skipping before any bytes are touched).
 
     PNG payloads decode via the pure-Python codec
-    (``formats/pngcodec.py``: stdlib zlib + numpy unfilter), resize with
-    nearest-neighbour indexing, and re-encode; non-PNG/undecodable rows
-    pass through with NULL output dims. Arrow-batched mapInPandas, rows
-    chunked to ``batch_rows`` (media rows are fat); bytes never shuffle."""
+    (``formats/pngcodec.py``: stdlib zlib + numpy unfilter), BMP via
+    ``formats/bmpcodec.py``; both resize with nearest-neighbour indexing
+    and re-encode as PNG. Undecodable rows pass through with NULL output
+    dims. Arrow-batched mapInPandas, rows chunked to ``batch_rows``
+    (media rows are fat); bytes never shuffle."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.StringType()),
@@ -198,25 +199,45 @@ def apply_resize(
     )
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..formats.pngcodec import decode_png, encode_png, resize_nearest
+        from ..formats.bmpcodec import DECODE_ERRORS as BMP_ERRORS, decode_bmp
+        from ..formats.pngcodec import (
+            DECODE_ERRORS,
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
+        def decode_any(payload: bytes):
+            if payload[:2] == b"BM":
+                try:
+                    return decode_bmp(payload)
+                except BMP_ERRORS:
+                    return None
+            try:
+                return decode_png(payload)
+            except DECODE_ERRORS:
+                return None
 
         for pdf in it:
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo : lo + batch_rows]
                 rows = []
                 for mid, payload in zip(chunk[id_col], chunk[binary_col]):
-                    try:
-                        w, h, _c, px = decode_png(bytes(payload))
-                    except ValueError:
+                    decoded = decode_any(bytes(payload))
+                    if decoded is None:
                         rows.append((str(mid), None, None, None, None, None))
                         continue
+                    w, h, _c, px = decoded
                     if keep_aspect:
                         scale = min(target_w / w, target_h / h)
                         ow, oh = int(w * scale), int(h * scale)
                     else:
                         ow, oh = target_w, target_h
                     ow, oh = max(ow, 1), max(oh, 1)
-                    if (ow, oh) == (w, h):  # no-op skip, as resize_plan flags
+                    if (ow, oh) == (w, h) and bytes(payload)[:2] != b"BM":
+                        # no-op skip, as resize_plan flags — PNG only; a
+                        # same-size BMP still re-encodes so out_png always
+                        # holds PNG bytes
                         out = bytes(payload)
                     else:
                         out = encode_png(resize_nearest(px, ow, oh))
