@@ -1359,8 +1359,12 @@ def q_textstats_wide(spark, sf_dir):
     corpus, score pass joins the model back; Wenzek et al. 2020 recipe
     with a self-contained oracle-exact LM) and the DSIR importance
     weight (ops/dsir.py, Xie et al. 2023 — hashed-n-gram log-ratio vs
-    the deterministic doc_id % 53 = 0 target slice, broadcast model)."""
+    the deterministic doc_id % 53 = 0 target slice, broadcast model).
+    r5 late: joined with the Gopher quality-rule flags (ops/gopher.py,
+    Rae et al. 2021 A1.1 — word/line/symbol/stop-word gates as one
+    codegen projection)."""
     from benthos_spark.ops.dsir import dsir_weights
+    from benthos_spark.ops.gopher import gopher_flags
     from benthos_spark.ops.lmscore import bigram_lm_score
     from benthos_spark.ops.textstats import textstats_wide
 
@@ -1370,6 +1374,7 @@ def q_textstats_wide(spark, sf_dir):
         textstats_wide(docs, n=2)
         .join(bigram_lm_score(docs), "doc_id")
         .join(dsir, "doc_id")
+        .join(gopher_flags(docs, min_stop_hits=1), "doc_id")
     )
 
 
@@ -1596,6 +1601,52 @@ _SQL_DSIR = (
     "  group by bf.doc_id, tot.nt, tot.nr)\n"
     "select d.doc_id, coalesce(sc.n_feats, 0)::BIGINT as n_feats,\n"
     "  sc.dsir_weight from documents d left join sc using (doc_id)"
+)
+
+# Gopher quality-rule oracle (ops/gopher.py twin, Rae et al. 2021 A1.1
+# defaults): raw whitespace words (explicit [ \t\n\r\f] class — Java and
+# RE2 \s differ on \x0B), trimmed non-empty lines, the two ellipsis forms
+# and '#' as symbols, normalized tokens for the 8-word stop list. All
+# fractions rounded to 4 dp BEFORE the pass gates so both engines compare
+# identical values. The driver row gates on min_stop_hits=1 (paper default
+# is 2): the synthetic corpus vocabulary yields <=1 stop-word hit per doc,
+# so the relaxed gate keeps gopher_pass discriminating on testdata.
+_SQL_GOPHER = (
+    "with g0 as (select doc_id,\n"
+    "  list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\r\\f]+'),"
+    " x -> x <> '') as w,\n"
+    "  list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),"
+    " l -> trim(l)), l -> l <> '') as lines,\n"
+    "  ((length(coalesce(text, '')) - length(replace(coalesce(text, ''), '#', '')))\n"
+    "   + (length(coalesce(text, '')) - length(replace(coalesce(text, ''), '...', ''))) // 3\n"
+    "   + (length(coalesce(text, '')) - length(replace(coalesce(text, ''), '…', '')))) as syms,\n"
+    "  " + _sql_tokens("coalesce(text, '')") + " as toks\n"
+    "  from documents),\n"
+    "g1 as (select doc_id, len(w)::BIGINT as n_words,\n"
+    "  case when len(w) > 0 then round(list_sum(list_transform(w, x -> length(x)))::DOUBLE"
+    " / len(w), 4) end as mean_word_len,\n"
+    "  case when len(w) > 0 then round(syms::DOUBLE / len(w), 4) end as symbol_ratio,\n"
+    "  case when len(lines) > 0 then round(len(list_filter(lines,"
+    " l -> l like '-%' or l like '*%' or l like '•%'))::DOUBLE / len(lines), 4)"
+    " end as bullet_frac,\n"
+    "  case when len(lines) > 0 then round(len(list_filter(lines,"
+    " l -> l like '%...' or l like '%…'))::DOUBLE / len(lines), 4)"
+    " end as ellipsis_frac,\n"
+    "  case when len(w) > 0 then round(len(list_filter(w,"
+    " x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w), 4) end as alpha_frac,\n"
+    "  (" + " + ".join(
+        f"list_contains(toks, '{sw}')::INT"
+        for sw in ("the", "be", "to", "of", "and", "that", "have", "with")
+    ) + ")::BIGINT as n_stop_hits\n"
+    "  from g0)\n"
+    "select doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,\n"
+    "  ellipsis_frac, alpha_frac, n_stop_hits,\n"
+    "  case when n_words = 0 then false else\n"
+    "    (n_words >= 50 and n_words <= 100000 and mean_word_len >= 3\n"
+    "     and mean_word_len <= 10 and symbol_ratio <= 0.1\n"
+    "     and bullet_frac <= 0.9 and ellipsis_frac <= 0.3\n"
+    "     and alpha_frac >= 0.8 and n_stop_hits >= 1) end as gopher_pass\n"
+    "from g1"
 )
 
 _SQL_SESSION = """
@@ -2418,14 +2469,16 @@ def oracle_sql() -> dict[str, str]:
         with tc as ({sql.pop("token_count")}), bpe as ({sql.pop("token_count_bpe")}),
              li as ({sql.pop("lang_id")}), qs as ({sql.pop("quality_score")}),
              fpq as ({sql.pop("fingerprint")}), rp as ({sql.pop("repetition_score")}),
-             lm as ({_SQL_LM}), ds as ({_SQL_DSIR})
+             lm as ({_SQL_LM}), ds as ({_SQL_DSIR}), go as ({_SQL_GOPHER})
         select tc.doc_id, tc.n_tokens, bpe.n_bpe_tokens, li.lang_guess, li.n_hits,
                qs.has_text, qs.n_chars, qs.alpha_ratio, qs.quality, fpq.fp,
                rp.n_ngrams, rp.repetition, lm.n_bigrams, lm.bits_per_bigram,
-               ds.n_feats, ds.dsir_weight
+               ds.n_feats, ds.dsir_weight,
+               go.n_words, go.mean_word_len, go.symbol_ratio, go.bullet_frac,
+               go.ellipsis_frac, go.alpha_frac, go.n_stop_hits, go.gopher_pass
         from tc join bpe using (doc_id) join li using (doc_id)
              join qs using (doc_id) join fpq using (doc_id) join rp using (doc_id)
-             join lm using (doc_id) join ds using (doc_id)
+             join lm using (doc_id) join ds using (doc_id) join go using (doc_id)
     """
     sql["window_tumbling_sliding"] = f"""
         select 'tumbling' as kind, win_start, event_type, n, sum_value
