@@ -1247,13 +1247,22 @@ def q_duplicate_lines(spark, sf_dir):
     LEFT-joins per-doc benchmark DECONTAMINATION stats
     (ops/decontaminate.py — GPT-3-style n-gram-overlap flagging; benchmark
     = the doc_id % 97 == 0 slice standing in for a held-out eval set,
-    broadcast containment join, corpus n-grams never shuffle)."""
+    broadcast containment join, corpus n-grams never shuffle).
+
+    r5 late: joined with the GOPHER REPETITION rules (ops/gopher.py,
+    Rae et al. 2021 A1.1 second half — dup line/paragraph fractions, top
+    2-4-gram and dup 5-10-gram char fractions; one explode + two hash
+    aggregations, the FineWeb/Dolma standard duplicate-structure filters)."""
     from benthos_spark.ops.decontaminate import decontaminate
+    from benthos_spark.ops.gopher import gopher_repetition
     from benthos_spark.ops.textstats import duplicate_line_stats
 
     docs = _t(spark, sf_dir, "documents")
     dec = decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0), n=4)
-    return dec.join(duplicate_line_stats(docs), "doc_id", "left")
+    return (
+        dec.join(duplicate_line_stats(docs), "doc_id", "left")
+        .join(gopher_repetition(docs), "doc_id")
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1648,6 +1657,87 @@ _SQL_GOPHER = (
     "     and alpha_frac >= 0.8 and n_stop_hits >= 1) end as gopher_pass\n"
     "from g1"
 )
+
+
+def _sql_gopher_rep() -> str:
+    """Gopher repetition-rule oracle (ops/gopher.gopher_repetition twin):
+    one occurrence stream per kind (trimmed lines, blank-line paragraphs,
+    chr(31)-joined token n-grams for n=2..10), per-item counts, then the
+    same per-doc conditional sums — char fractions normalized within each
+    kind, 4-dp-rounded before the threshold gate, absent metrics pass."""
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    grams = "\n".join(
+        "  union all select doc_id, 'g%d' as kind, unnest("
+        "[array_to_string(toks[i:i+%d], chr(31))"
+        " for i in range(1, greatest(len(toks)-%d, 1))]) as item from r0"
+        % (n, n - 1, n - 2)
+        for n in sorted(set(top_ns) | set(dup_ns))
+    )
+    aggs = []
+    for k in ("line", "para"):
+        aggs += [
+            f"sum(case when kind='{k}' then cnt end) as {k}_n",
+            f"sum(case when kind='{k}' then cnt-1 end) as {k}_extra",
+            f"sum(case when kind='{k}' then cnt*chl end) as {k}_chars",
+            f"sum(case when kind='{k}' then (cnt-1)*chl end) as {k}_extra_chars",
+        ]
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        aggs.append(f"sum(case when kind='g{n}' then cnt*chl end) as g{n}_chars")
+        if n in top_ns:
+            aggs.append(f"max(case when kind='g{n}' then cnt*chl end) as g{n}_top")
+        if n in dup_ns:
+            aggs.append(
+                f"sum(case when kind='g{n}' then"
+                f" case when cnt>1 then cnt*chl else 0 end end) as g{n}_dup"
+            )
+
+    def frac(num, den, alias):
+        return (
+            f"case when {den} > 0 then round({num}::DOUBLE / {den}, 4) end as {alias}"
+        )
+
+    metrics = [
+        frac("line_extra", "line_n", "dup_line_frac"),
+        frac("para_extra", "para_n", "dup_para_frac"),
+        frac("line_extra_chars", "line_chars", "dup_line_char_frac"),
+        frac("para_extra_chars", "para_chars", "dup_para_char_frac"),
+    ]
+    metrics += [
+        frac(f"g{n}_top", f"g{n}_chars", f"top_{n}gram_char_frac") for n in top_ns
+    ]
+    metrics += [
+        frac(f"g{n}_dup", f"g{n}_chars", f"dup_{n}gram_char_frac") for n in dup_ns
+    ]
+    from benthos_spark.ops.gopher import REP_THRESHOLDS
+
+    gate = " and ".join(
+        f"coalesce(m.{name} <= {thr}, true)" for name, thr in REP_THRESHOLDS.items()
+    )
+    mcols = ", ".join(f"m.{name}" for name in REP_THRESHOLDS)
+    return (
+        "with r0 as (select doc_id,\n"
+        "  list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),"
+        " l -> trim(l)), l -> l <> '') as lines,\n"
+        "  list_filter(list_transform(string_split_regex(coalesce(text, ''),"
+        " '\\n{2,}'), p -> trim(p)), p -> p <> '') as paras,\n"
+        "  " + _sql_tokens("coalesce(text, '')") + " as toks\n"
+        "  from documents),\n"
+        "it as (\n"
+        "  select doc_id, 'line' as kind, unnest(lines) as item from r0\n"
+        "  union all select doc_id, 'para' as kind, unnest(paras) as item from r0\n"
+        + grams + "),\n"
+        "c as (select doc_id, kind, item, count(*)::BIGINT as cnt,\n"
+        "  length(replace(item, chr(31), ''))::BIGINT as chl\n"
+        "  from it group by 1, 2, 3),\n"
+        "a as (select doc_id, " + ",\n  ".join(aggs) + " from c group by doc_id),\n"
+        "m as (select doc_id, " + ",\n  ".join(metrics) + " from a)\n"
+        "select d.doc_id, " + mcols + ",\n"
+        "  coalesce(" + gate + ", true) as gopher_rep_pass\n"
+        "from documents d left join m using (doc_id)"
+    )
+
+
+_SQL_GOPHER_REP = _sql_gopher_rep()
 
 _SQL_SESSION = """
 with m as (
@@ -2419,11 +2509,13 @@ def oracle_sql() -> dict[str, str]:
         "            then round(coalesce(h.n_hit, 0)::DOUBLE / t.n_ngrams, 4)\n"
         "            else 0.0 end as hit_ratio,\n"
         "       coalesce(h.n_hit, 0) > 0 as contaminated,\n"
-        "       dup.n_lines, dup.n_shared, dup.shared_ratio\n"
+        "       dup.n_lines, dup.n_shared, dup.shared_ratio,\n"
+        "       rep.* exclude (doc_id)\n"
         "from documents d\n"
         "left join tot t using (doc_id)\n"
         "left join hit h using (doc_id)\n"
         "left join dup on dup.doc_id = d.doc_id\n"
+        "join (" + _SQL_GOPHER_REP + ") rep on rep.doc_id = d.doc_id\n"
     )
     sql["token_count_bpe"] = r"""
         select doc_id,

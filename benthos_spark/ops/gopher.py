@@ -109,3 +109,164 @@ def gopher_flags(
         "gopher_pass",
         F.when(F.col("n_words") == 0, F.lit(False)).otherwise(passed),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021 A1.1, second half) — the
+# duplicate-structure filters FineWeb/Dolma run verbatim at web scale:
+#   dup_line_frac / dup_para_frac        <= 0.30  (items repeated beyond 1st)
+#   dup_line_char_frac / dup_para_..._   <= 0.20  (chars in those repeats)
+#   top_{2,3,4}gram_char_frac            <= 0.20 / 0.18 / 0.16
+#   dup_{5..10}gram_char_frac            <= 0.15 .. 0.10
+#
+# Char fractions are normalized WITHIN each item kind (top n-gram chars /
+# total n-gram chars for that n), not against the raw document length —
+# bounded [0,1], self-contained, and identical in both engines; FineWeb's
+# character-span marking (overlap-deduplicated) is a different published
+# variant, noted here for honesty. n-gram identity uses the normalized
+# token stream (textprep.tokens); lines/paragraphs compare the raw trimmed
+# text like the reference C4/Gopher implementations.
+# ---------------------------------------------------------------------------
+
+# (threshold, kind) table — gate compares the ROUNDED 4-dp values
+REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+_SEP = "\x1f"  # n-gram join byte; stripped when measuring char length
+
+
+def _tagged(arr, kind: str):
+    return F.transform(
+        arr, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("item"))
+    )
+
+
+def _grams_all(toks, n: int):
+    """ALL n-gram occurrences (not distinct — counts matter here), joined
+    with the \\x1f separator so char length = length(item) - (n-1)."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(_SEP, *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """All thirteen Gopher repetition metrics in ONE linear pass.
+
+    100 TB shape: every (doc, kind, item) occurrence is emitted by a single
+    explode (~(2 + |top_ns| + |dup_ns|) rows per token — constant factor),
+    then TWO hash aggregations keyed on doc-local keys: per-item counts,
+    then per-doc conditional sums. No quadratic per-row HOF scans (counting
+    occurrences with array filters inside a lambda is O(len²) per doc), no
+    driver state; partial aggregation absorbs most of the explode before the
+    shuffle. Docs join back LEFT so every input row gets an output row;
+    metrics are NULL when a kind has no items and the gate treats absent
+    metrics as passing (short docs are the length rules' job, not these).
+    """
+    from .textprep import tokens
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    kinds = (
+        [("line", None), ("para", None)]
+        + [(f"g{n}", n) for n in sorted(set(top_ns) | set(dup_ns))]
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+        ).alias("__line"),
+        F.filter(
+            F.transform(F.split(t, "\n{2,}"), lambda p: F.trim(p)), lambda p: p != ""
+        ).alias("__para"),
+        tokens(t).alias("__toks"),
+    )
+    tagged = base.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                _tagged(F.col("__line"), "line"),
+                _tagged(F.col("__para"), "para"),
+                *[_tagged(_grams_all(F.col("__toks"), n), f"g{n}") for _, n in kinds if n],
+            )
+        ).alias("kv"),
+    ).select(F.col(id_col), F.col("kv.kind").alias("kind"), F.col("kv.item").alias("item"))
+
+    per_item = tagged.groupBy(id_col, "kind", "item").agg(F.count("*").alias("cnt"))
+    chl = F.length(F.translate(F.col("item"), _SEP, ""))
+    cnt = F.col("cnt")
+
+    def _k(kind, expr, agg=F.sum):
+        return agg(F.when(F.col("kind") == kind, expr))
+
+    aggs = []
+    for kind in ("line", "para"):
+        aggs += [
+            _k(kind, cnt).alias(f"__{kind}_n"),
+            _k(kind, cnt - 1).alias(f"__{kind}_extra"),
+            _k(kind, cnt * chl).alias(f"__{kind}_chars"),
+            _k(kind, (cnt - 1) * chl).alias(f"__{kind}_extra_chars"),
+        ]
+    for kind, n in kinds:
+        if not n:
+            continue
+        aggs.append(_k(kind, cnt * chl).alias(f"__{kind}_chars"))
+        if n in top_ns:
+            aggs.append(_k(kind, cnt * chl, F.max).alias(f"__{kind}_top"))
+        if n in dup_ns:
+            aggs.append(
+                _k(kind, F.when(cnt > 1, cnt * chl).otherwise(F.lit(0))).alias(
+                    f"__{kind}_dup"
+                )
+            )
+    per_doc = per_item.groupBy(id_col).agg(*aggs)
+
+    def _frac(num, den):
+        return F.when(F.col(den) > 0, F.round(F.col(num) / F.col(den), 4))
+
+    metrics = [
+        _frac("__line_extra", "__line_n").alias("dup_line_frac"),
+        _frac("__para_extra", "__para_n").alias("dup_para_frac"),
+        _frac("__line_extra_chars", "__line_chars").alias("dup_line_char_frac"),
+        _frac("__para_extra_chars", "__para_chars").alias("dup_para_char_frac"),
+    ]
+    for n in top_ns:
+        metrics.append(
+            _frac(f"__g{n}_top", f"__g{n}_chars").alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        metrics.append(
+            _frac(f"__g{n}_dup", f"__g{n}_chars").alias(f"dup_{n}gram_char_frac")
+        )
+    scored = per_doc.select(F.col(id_col), *metrics)
+
+    gate = F.lit(True)
+    for name, thr in REP_THRESHOLDS.items():
+        if name in scored.columns:
+            gate = gate & F.coalesce(F.col(name) <= thr, F.lit(True))
+    scored = scored.withColumn("gopher_rep_pass", gate)
+
+    return docs.select(F.col(id_col)).join(scored, id_col, "left").withColumn(
+        "gopher_rep_pass", F.coalesce(F.col("gopher_rep_pass"), F.lit(True))
+    )
