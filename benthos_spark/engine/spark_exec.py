@@ -840,6 +840,64 @@ class NativePipeline:
             _add_col(cols, c, dt)
         return t
 
+    def _c_gopher(self, body, cols):
+        """Gopher quality-filter rules (ops/gopher.py, Rae et al. 2021
+        A1.1): annotates every row with the seven rule metrics plus the
+        combined ``gopher_pass`` gate, optionally dropping failing docs
+        (``drop: true``). The rule pass is ONE Catalyst projection — no
+        shuffle, no state — so it runs on batch AND streaming frames.
+        ``repetition: true`` additionally joins the thirteen
+        duplicate-structure metrics + ``gopher_rep_pass`` (and ``drop``
+        then also requires that gate); the repetition pass aggregates
+        per-doc n-gram counts, so it is batch-only."""
+        col = body.get("column", "text")
+        idc = body.get("id_column", "doc_id")
+        min_words = int(body.get("min_words", 50))
+        max_words = int(body.get("max_words", 100_000))
+        min_stop = int(body.get("min_stop_hits", 2))
+        rep = bool(body.get("repetition", False))
+        drop = bool(body.get("drop", False))
+
+        def t(df):
+            from ..ops.gopher import gopher_flags, gopher_repetition
+
+            out = gopher_flags(
+                df, text_col=col, id_col=idc, min_words=min_words,
+                max_words=max_words, min_stop_hits=min_stop, annotate=True,
+            )
+            if rep:
+                if df.isStreaming:
+                    raise RuntimeError(
+                        "gopher repetition rules are batch-only (per-doc"
+                        " n-gram aggregation); run them over the"
+                        " materialized corpus table or drop repetition:"
+                        " true for the streaming-safe rule subset"
+                    )
+                out = out.join(
+                    gopher_repetition(df, text_col=col, id_col=idc), idc
+                )
+            if drop:
+                keep = F.col("gopher_pass")
+                if rep:
+                    keep = keep & F.col("gopher_rep_pass")
+                out = out.filter(keep)
+            return out
+
+        from ..ops.gopher import REP_THRESHOLDS
+
+        for c, dt in (
+            ("n_words", "bigint"), ("mean_word_len", "double"),
+            ("symbol_ratio", "double"), ("bullet_frac", "double"),
+            ("ellipsis_frac", "double"), ("alpha_frac", "double"),
+            ("n_stop_hits", "bigint"), ("gopher_pass", "boolean"),
+        ):
+            _add_col(cols, c, dt)
+        if rep:
+            for c in REP_THRESHOLDS:
+                _add_col(cols, c, "double")
+            _add_col(cols, "gopher_rep_pass", "boolean")
+        return t
+
     def _c_decontaminate(self, body, cols):
         """Benchmark n-gram decontamination (ops/decontaminate.py): annotates
         every row with (n_ngrams, n_hit, hit_ratio, contaminated) against a

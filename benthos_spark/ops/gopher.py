@@ -42,10 +42,15 @@ def gopher_flags(
     min_words: int = 50,
     max_words: int = 100_000,
     min_stop_hits: int = 2,
+    annotate: bool = False,
 ) -> DataFrame:
+    """With ``annotate=True`` every input column is kept alongside the
+    metrics — still ONE projection (streaming-safe: no shuffle, no state),
+    which is how the ``gopher`` spec stage runs it on live streams."""
+    keep = list(docs.columns) if annotate else [id_col]
     t = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(
-        F.col(id_col),
+        *[F.col(c) for c in keep],
         F.filter(F.split(t, _WS), lambda x: x != "").alias("__w"),
         F.filter(
             F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != ""
@@ -85,7 +90,7 @@ def gopher_flags(
     ).cast("long")
 
     out = base.select(
-        F.col(id_col),
+        *[F.col(c) for c in keep],
         nw.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         sym_ratio.alias("symbol_ratio"),

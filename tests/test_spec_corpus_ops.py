@@ -435,6 +435,82 @@ class TestRound4Chains:
             "output": {"memory": {}},
         }) == []
 
+    # doc 1: 60 varied words (every n-gram distinct — passes repetition
+    # too); doc 3 is a repeated phrase that passes the quality rules but
+    # fails the duplicate-n-gram gates
+    GOPHER_ROWS = [
+        [1, " ".join(f"the w{i:03d} and v{i:03d}" for i in range(15))],
+        [2, "too short to pass the word gate"],
+        [3, " ".join(["ping pong the dog with it"] * 12)],  # heavy repetition
+    ]
+
+    def test_gopher_stage_annotates_and_drops(self, spark):
+        out = run_spec(spark, {
+            "input": {"inline": {"rows": self.GOPHER_ROWS,
+                                 "schema": "doc_id long, text string"}},
+            "pipeline": {"processors": [{"gopher": {}}]},
+            "output": {"memory": {}},
+        })
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["gopher_pass"] is True and rows[1]["n_words"] == 60
+        assert rows[2]["gopher_pass"] is False
+        assert "text" in out.columns  # original cols kept
+
+        dropped = run_spec(spark, {
+            "input": {"inline": {"rows": self.GOPHER_ROWS,
+                                 "schema": "doc_id long, text string"}},
+            "pipeline": {"processors": [
+                {"gopher": {"repetition": True, "drop": True}},
+            ]},
+            "output": {"memory": {}},
+        })
+        kept = [r["doc_id"] for r in dropped.collect()]
+        assert kept == [1]  # 2 fails word gate, 3 fails repetition gates
+
+    def test_gopher_stage_is_stream_safe(self, spark, tmp_path):
+        """The rule subset is one projection, so the gopher stage filters
+        a live stream through the exactly-once sink; repetition: true on a
+        stream raises the batch-only error."""
+        from benthos_spark.streaming.sink import IdempotentSink
+        from benthos_spark.streaming.source import write_pages_input
+
+        in_dir = str(tmp_path / "in")
+        write_pages_input(spark, in_dir, 200, n_chunks=2, n_hosts=5)
+        run_spec(spark, {
+            "input": {"stream": {"path": in_dir}},
+            "pipeline": {"processors": [
+                {"gopher": {"min_words": 1, "min_stop_hits": 0,
+                            "id_column": "url", "drop": True}},
+            ]},
+            "output": {"sink": {
+                "path": str(tmp_path / "out"),
+                "checkpoint": str(tmp_path / "ckpt"),
+            }},
+        })
+        got = IdempotentSink(str(tmp_path / "out")).read(spark)
+        assert got.count() > 0
+        assert got.filter(~F.col("gopher_pass")).count() == 0
+
+        with pytest.raises(Exception, match="batch-only"):
+            run_spec(spark, {
+                "input": {"stream": {"path": in_dir}},
+                "pipeline": {"processors": [
+                    {"gopher": {"repetition": True, "id_column": "url"}},
+                ]},
+                "output": {"sink": {
+                    "path": str(tmp_path / "out2"),
+                    "checkpoint": str(tmp_path / "ckpt2"),
+                }},
+            })
+
+    def test_lint_accepts_gopher(self):
+        assert lint_spec({
+            "input": {"inline": {"rows": [[1, "x"]],
+                                 "schema": "doc_id long, text string"}},
+            "pipeline": {"processors": [{"gopher": {"drop": True}}]},
+            "output": {"memory": {}},
+        }) == []
+
 
 @pytest.mark.spark
 class TestTrainingDataPipelineExample:
