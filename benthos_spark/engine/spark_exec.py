@@ -844,12 +844,12 @@ class NativePipeline:
         """Gopher quality-filter rules (ops/gopher.py, Rae et al. 2021
         A1.1): annotates every row with the seven rule metrics plus the
         combined ``gopher_pass`` gate, optionally dropping failing docs
-        (``drop: true``). The rule pass is ONE Catalyst projection — no
-        shuffle, no state — so it runs on batch AND streaming frames.
-        ``repetition: true`` additionally joins the thirteen
-        duplicate-structure metrics + ``gopher_rep_pass`` (and ``drop``
-        then also requires that gate); the repetition pass aggregates
-        per-doc n-gram counts, so it is batch-only."""
+        (``drop: true``). ``repetition: true`` additionally annotates the
+        thirteen duplicate-structure metrics + ``gopher_rep_pass`` (and
+        ``drop`` then also requires that gate). BOTH passes are pure
+        Catalyst projections (the repetition metrics fold in-row over
+        sorted item arrays) — no shuffle, no state — so the full 21-metric
+        Gopher filter runs on batch AND streaming frames."""
         col = body.get("column", "text")
         idc = body.get("id_column", "doc_id")
         min_words = int(body.get("min_words", 50))
@@ -866,15 +866,8 @@ class NativePipeline:
                 max_words=max_words, min_stop_hits=min_stop, annotate=True,
             )
             if rep:
-                if df.isStreaming:
-                    raise RuntimeError(
-                        "gopher repetition rules are batch-only (per-doc"
-                        " n-gram aggregation); run them over the"
-                        " materialized corpus table or drop repetition:"
-                        " true for the streaming-safe rule subset"
-                    )
-                out = out.join(
-                    gopher_repetition(df, text_col=col, id_col=idc), idc
+                out = gopher_repetition(
+                    out, text_col=col, id_col=idc, annotate=True
                 )
             if drop:
                 keep = F.col("gopher_pass")

@@ -153,12 +153,6 @@ REP_THRESHOLDS = {
 _SEP = "\x1f"  # n-gram join byte; stripped when measuring char length
 
 
-def _tagged(arr, kind: str):
-    return F.transform(
-        arr, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("item"))
-    )
-
-
 def _grams_all(toks, n: int):
     """ALL n-gram occurrences (not distinct — counts matter here), joined
     with the \\x1f separator so char length = length(item) - (n-1)."""
@@ -171,107 +165,170 @@ def _grams_all(toks, n: int):
     )
 
 
+def _run_stats(sorted_arr):
+    """Fold a SORTED string array into duplicate-run statistics — one
+    in-row pass, no shuffle. Returns struct(n, chars, extra, extra_chars,
+    dup_chars, max_chars) where a "run" is a maximal block of equal items:
+    extra = sum(run-1), dup_chars = sum(run*chl | run>1),
+    max_chars = max(run*chl), chars = sum(chl) over ALL occurrences.
+    Char length strips the \\x1f n-gram separator."""
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("prev_chl"),
+        zero.alias("run"),
+        zero.alias("n"),
+        zero.alias("chars"),
+        zero.alias("extra"),
+        zero.alias("extra_chars"),
+        zero.alias("dup_chars"),
+        zero.alias("max_chars"),
+    )
+
+    def _fold_run(a):
+        """Close the current run (a.run occurrences of a.prev)."""
+        r, c = a["run"], a["prev_chl"]
+        dup = r > 1
+        return (
+            a["extra"] + F.when(dup, r - 1).otherwise(0),
+            a["extra_chars"] + F.when(dup, (r - 1) * c).otherwise(0),
+            a["dup_chars"] + F.when(dup, r * c).otherwise(0),
+            F.greatest(a["max_chars"], r * c),
+        )
+
+    def merge(a, x):
+        chl = F.length(F.translate(x, _SEP, "")).cast("long")
+        extra, extra_chars, dup_chars, max_chars = _fold_run(a)
+        same = (a["run"] > 0) & (a["prev"] == x)
+        return F.when(
+            same,
+            F.struct(
+                a["prev"].alias("prev"),
+                a["prev_chl"].alias("prev_chl"),
+                (a["run"] + 1).alias("run"),
+                (a["n"] + 1).alias("n"),
+                (a["chars"] + chl).alias("chars"),
+                a["extra"].alias("extra"),
+                a["extra_chars"].alias("extra_chars"),
+                a["dup_chars"].alias("dup_chars"),
+                a["max_chars"].alias("max_chars"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                chl.alias("prev_chl"),
+                F.lit(1).cast("long").alias("run"),
+                (a["n"] + 1).alias("n"),
+                (a["chars"] + chl).alias("chars"),
+                extra.alias("extra"),
+                extra_chars.alias("extra_chars"),
+                dup_chars.alias("dup_chars"),
+                max_chars.alias("max_chars"),
+            )
+        )
+
+    def finish(a):
+        extra, extra_chars, dup_chars, max_chars = _fold_run(a)
+        return F.struct(
+            a["n"].alias("n"),
+            a["chars"].alias("chars"),
+            extra.alias("extra"),
+            extra_chars.alias("extra_chars"),
+            dup_chars.alias("dup_chars"),
+            max_chars.alias("max_chars"),
+        )
+
+    return F.aggregate(sorted_arr, acc0, merge, finish)
+
+
 def gopher_repetition(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    annotate: bool = False,
 ) -> DataFrame:
-    """All thirteen Gopher repetition metrics in ONE linear pass.
+    """All thirteen Gopher repetition metrics as ONE shuffle-free projection.
 
-    100 TB shape: every (doc, kind, item) occurrence is emitted by a single
-    explode (~(2 + |top_ns| + |dup_ns|) rows per token — constant factor),
-    then TWO hash aggregations keyed on doc-local keys: per-item counts,
-    then per-doc conditional sums. No quadratic per-row HOF scans (counting
-    occurrences with array filters inside a lambda is O(len²) per doc), no
-    driver state; partial aggregation absorbs most of the explode before the
-    shuffle. Docs join back LEFT so every input row gets an output row;
-    metrics are NULL when a kind has no items and the gate treats absent
+    100 TB shape: per kind (lines, paragraphs, each n), the item array is
+    sorted IN-ROW and folded into run-length stats by a higher-order
+    ``aggregate`` — O(T·n log T) work per document, ZERO exchange, no
+    state, embarrassingly parallel, and therefore streaming-safe. The
+    first version of this op exploded every occurrence into a
+    groupBy(doc, kind, item) — measured at 10× input the explode shuffled
+    ~1.5 G mostly-unique long string keys that map-side partial
+    aggregation could not reduce, and throughput DROPPED to 0.67×
+    (44.7k → 29.9k rows/s, BENCH.md). The sort-fold projection keeps every
+    byte inside its partition; the cross-engine oracle
+    (``_SQL_GOPHER_REP``) still uses the independent unnest/GROUP BY
+    formulation, so the two paths check each other.
+
+    Metrics are NULL when a kind has no items and the gate treats absent
     metrics as passing (short docs are the length rules' job, not these).
+    ``annotate=True`` keeps all input columns (the spec-stage mode).
     """
     from .textprep import tokens
 
+    keep = list(docs.columns) if annotate else [id_col]
     t = F.coalesce(F.col(text_col), F.lit(""))
-    kinds = (
-        [("line", None), ("para", None)]
-        + [(f"g{n}", n) for n in sorted(set(top_ns) | set(dup_ns))]
-    )
+    ns = sorted(set(top_ns) | set(dup_ns))
     base = docs.select(
-        F.col(id_col),
-        F.filter(
-            F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+        *[F.col(c) for c in keep],
+        F.array_sort(
+            F.filter(
+                F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
         ).alias("__line"),
-        F.filter(
-            F.transform(F.split(t, "\n{2,}"), lambda p: F.trim(p)), lambda p: p != ""
+        F.array_sort(
+            F.filter(
+                F.transform(F.split(t, "\n{2,}"), lambda p: F.trim(p)),
+                lambda p: p != "",
+            )
         ).alias("__para"),
         tokens(t).alias("__toks"),
     )
-    tagged = base.select(
-        F.col(id_col),
-        F.explode(
-            F.concat(
-                _tagged(F.col("__line"), "line"),
-                _tagged(F.col("__para"), "para"),
-                *[_tagged(_grams_all(F.col("__toks"), n), f"g{n}") for _, n in kinds if n],
-            )
-        ).alias("kv"),
-    ).select(F.col(id_col), F.col("kv.kind").alias("kind"), F.col("kv.item").alias("item"))
+    # n-gram arrays reference the bound __toks column (HOF-inlining rule)
+    staged = base.select(
+        *[F.col(c) for c in keep],
+        F.col("__line"),
+        F.col("__para"),
+        *[
+            F.array_sort(_grams_all(F.col("__toks"), n)).alias(f"__g{n}")
+            for n in ns
+        ],
+    )
+    stats = staged.select(
+        *[F.col(c) for c in keep],
+        *[
+            _run_stats(F.col(f"__{k}")).alias(f"__s_{k}")
+            for k in ["line", "para"] + [f"g{n}" for n in ns]
+        ],
+    )
 
-    per_item = tagged.groupBy(id_col, "kind", "item").agg(F.count("*").alias("cnt"))
-    chl = F.length(F.translate(F.col("item"), _SEP, ""))
-    cnt = F.col("cnt")
-
-    def _k(kind, expr, agg=F.sum):
-        return agg(F.when(F.col("kind") == kind, expr))
-
-    aggs = []
-    for kind in ("line", "para"):
-        aggs += [
-            _k(kind, cnt).alias(f"__{kind}_n"),
-            _k(kind, cnt - 1).alias(f"__{kind}_extra"),
-            _k(kind, cnt * chl).alias(f"__{kind}_chars"),
-            _k(kind, (cnt - 1) * chl).alias(f"__{kind}_extra_chars"),
-        ]
-    for kind, n in kinds:
-        if not n:
-            continue
-        aggs.append(_k(kind, cnt * chl).alias(f"__{kind}_chars"))
-        if n in top_ns:
-            aggs.append(_k(kind, cnt * chl, F.max).alias(f"__{kind}_top"))
-        if n in dup_ns:
-            aggs.append(
-                _k(kind, F.when(cnt > 1, cnt * chl).otherwise(F.lit(0))).alias(
-                    f"__{kind}_dup"
-                )
-            )
-    per_doc = per_item.groupBy(id_col).agg(*aggs)
-
-    def _frac(num, den):
-        return F.when(F.col(den) > 0, F.round(F.col(num) / F.col(den), 4))
+    def _frac(kind, num, den="chars"):
+        s = F.col(f"__s_{kind}")
+        return F.when(s[den] > 0, F.round(num(s) / s[den], 4))
 
     metrics = [
-        _frac("__line_extra", "__line_n").alias("dup_line_frac"),
-        _frac("__para_extra", "__para_n").alias("dup_para_frac"),
-        _frac("__line_extra_chars", "__line_chars").alias("dup_line_char_frac"),
-        _frac("__para_extra_chars", "__para_chars").alias("dup_para_char_frac"),
+        _frac("line", lambda s: s["extra"], "n").alias("dup_line_frac"),
+        _frac("para", lambda s: s["extra"], "n").alias("dup_para_frac"),
+        _frac("line", lambda s: s["extra_chars"]).alias("dup_line_char_frac"),
+        _frac("para", lambda s: s["extra_chars"]).alias("dup_para_char_frac"),
     ]
     for n in top_ns:
         metrics.append(
-            _frac(f"__g{n}_top", f"__g{n}_chars").alias(f"top_{n}gram_char_frac")
+            _frac(f"g{n}", lambda s: s["max_chars"]).alias(f"top_{n}gram_char_frac")
         )
     for n in dup_ns:
         metrics.append(
-            _frac(f"__g{n}_dup", f"__g{n}_chars").alias(f"dup_{n}gram_char_frac")
+            _frac(f"g{n}", lambda s: s["dup_chars"]).alias(f"dup_{n}gram_char_frac")
         )
-    scored = per_doc.select(F.col(id_col), *metrics)
+    scored = stats.select(*[F.col(c) for c in keep], *metrics)
 
     gate = F.lit(True)
     for name, thr in REP_THRESHOLDS.items():
         if name in scored.columns:
             gate = gate & F.coalesce(F.col(name) <= thr, F.lit(True))
-    scored = scored.withColumn("gopher_rep_pass", gate)
-
-    return docs.select(F.col(id_col)).join(scored, id_col, "left").withColumn(
-        "gopher_rep_pass", F.coalesce(F.col("gopher_rep_pass"), F.lit(True))
-    )
+    return scored.withColumn("gopher_rep_pass", gate)

@@ -157,6 +157,8 @@ def quality_probes(spark, n):
     from benthos_spark.ops.dsir import dsir_weights
     from benthos_spark.ops.lmscore import bigram_lm_score
 
+    from benthos_spark.ops.gopher import gopher_flags, gopher_repetition
+
     docs = _dup_docs(spark, n)
     return {
         "bigram_lm_score": lambda: bigram_lm_score(docs),
@@ -164,6 +166,10 @@ def quality_probes(spark, n):
         "dsir_weights": lambda: dsir_weights(
             docs, docs.filter(F.col("doc_id") % 1000 == 0)
         ),
+        # one projection — the linearity floor for the family
+        "gopher_flags": lambda: gopher_flags(docs),
+        # ~11 tagged occurrences/token through 2 hash aggs
+        "gopher_repetition": lambda: gopher_repetition(docs),
     }
 
 

@@ -468,9 +468,9 @@ class TestRound4Chains:
         assert kept == [1]  # 2 fails word gate, 3 fails repetition gates
 
     def test_gopher_stage_is_stream_safe(self, spark, tmp_path):
-        """The rule subset is one projection, so the gopher stage filters
-        a live stream through the exactly-once sink; repetition: true on a
-        stream raises the batch-only error."""
+        """Both gopher passes are shuffle-free projections (the repetition
+        metrics fold in-row over sorted arrays), so the FULL 21-metric
+        filter runs on a live stream through the exactly-once sink."""
         from benthos_spark.streaming.sink import IdempotentSink
         from benthos_spark.streaming.source import write_pages_input
 
@@ -480,7 +480,8 @@ class TestRound4Chains:
             "input": {"stream": {"path": in_dir}},
             "pipeline": {"processors": [
                 {"gopher": {"min_words": 1, "min_stop_hits": 0,
-                            "id_column": "url", "drop": True}},
+                            "id_column": "url", "repetition": True,
+                            "drop": True}},
             ]},
             "output": {"sink": {
                 "path": str(tmp_path / "out"),
@@ -490,18 +491,8 @@ class TestRound4Chains:
         got = IdempotentSink(str(tmp_path / "out")).read(spark)
         assert got.count() > 0
         assert got.filter(~F.col("gopher_pass")).count() == 0
-
-        with pytest.raises(Exception, match="batch-only"):
-            run_spec(spark, {
-                "input": {"stream": {"path": in_dir}},
-                "pipeline": {"processors": [
-                    {"gopher": {"repetition": True, "id_column": "url"}},
-                ]},
-                "output": {"sink": {
-                    "path": str(tmp_path / "out2"),
-                    "checkpoint": str(tmp_path / "ckpt2"),
-                }},
-            })
+        assert got.filter(~F.col("gopher_rep_pass")).count() == 0
+        assert "dup_5gram_char_frac" in got.columns
 
     def test_lint_accepts_gopher(self):
         assert lint_spec({
