@@ -1251,17 +1251,28 @@ def q_duplicate_lines(spark, sf_dir):
 
     r5 late: joined with the GOPHER REPETITION rules (ops/gopher.py,
     Rae et al. 2021 A1.1 second half — dup line/paragraph fractions, top
-    2-4-gram and dup 5-10-gram char fractions; one explode + two hash
-    aggregations, the FineWeb/Dolma standard duplicate-structure filters)."""
+    2-4-gram and dup 5-10-gram char fractions; shuffle-free in-row
+    sort-fold, the FineWeb/Dolma standard duplicate-structure filters)
+    and with UNIT DEDUP (ops/unitdedup.py — RefinedWeb/Dolma-style
+    cross-doc first-seen sentence dedup that REWRITES the text; ud_*
+    columns, kept text compared by md5)."""
     from benthos_spark.ops.decontaminate import decontaminate
     from benthos_spark.ops.gopher import gopher_repetition
     from benthos_spark.ops.textstats import duplicate_line_stats
+    from benthos_spark.ops.unitdedup import unit_dedup
 
     docs = _t(spark, sf_dir, "documents")
     dec = decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0), n=4)
+    ud = unit_dedup(docs, unit="sentence", min_len=11).select(
+        "doc_id",
+        F.col("n_units").alias("ud_n_units"),
+        F.col("n_kept").alias("ud_n_kept"),
+        F.md5("cleaned_text").alias("ud_kept_md5"),
+    )
     return (
         dec.join(duplicate_line_stats(docs), "doc_id", "left")
         .join(gopher_repetition(docs), "doc_id")
+        .join(ud, "doc_id")
     )
 
 
@@ -1738,6 +1749,29 @@ def _sql_gopher_rep() -> str:
 
 
 _SQL_GOPHER_REP = _sql_gopher_rep()
+
+# Unit-level cross-doc dedup oracle (ops/unitdedup.py twin; sentence unit,
+# min_len=11 mirrors duplicate_line_stats' length>10 participation rule).
+# Winner = min(doc_id*2^20 + pos) per md5(trimmed unit) — same packed-LONG
+# formulation, 1-based pos here vs Spark's 0-based (ordering identical).
+# kept_md5 hashes the reassembled text so the driver compare stays small.
+_SQL_UNIT_DEDUP = (
+    "with ud0 as (select doc_id, string_split_regex(coalesce(text, ''),"
+    " '\\.') as units from documents),\n"
+    "udex as (select doc_id, i as pos, units[i] as unit, trim(units[i]) as tu\n"
+    "  from ud0, unnest([i for i in range(1, len(units) + 1)]) u(i)),\n"
+    "udh as (select *, case when length(tu) >= 11 then md5(tu) end as h,\n"
+    "  doc_id * 1048576 + pos as packed from udex),\n"
+    "udw as (select h, min(packed) as wp from udh where h is not null group by h),\n"
+    "udk as (select doc_id, pos, unit from udh left join udw using (h)\n"
+    "  where h is null or packed = wp),\n"
+    "uds as (select doc_id, count(*)::BIGINT as n_kept,\n"
+    "  md5(string_agg(unit, '.' order by pos)) as kept_md5 from udk group by doc_id)\n"
+    "select d0.doc_id, len(d0.units)::BIGINT as n_units,\n"
+    "  coalesce(uds.n_kept, 0)::BIGINT as n_kept,\n"
+    "  coalesce(uds.kept_md5, md5('')) as kept_md5\n"
+    "from ud0 d0 left join uds using (doc_id)"
+)
 
 _SQL_SESSION = """
 with m as (
@@ -2510,12 +2544,15 @@ def oracle_sql() -> dict[str, str]:
         "            else 0.0 end as hit_ratio,\n"
         "       coalesce(h.n_hit, 0) > 0 as contaminated,\n"
         "       dup.n_lines, dup.n_shared, dup.shared_ratio,\n"
-        "       rep.* exclude (doc_id)\n"
+        "       rep.* exclude (doc_id),\n"
+        "       ud.n_units as ud_n_units, ud.n_kept as ud_n_kept,\n"
+        "       ud.kept_md5 as ud_kept_md5\n"
         "from documents d\n"
         "left join tot t using (doc_id)\n"
         "left join hit h using (doc_id)\n"
         "left join dup on dup.doc_id = d.doc_id\n"
         "join (" + _SQL_GOPHER_REP + ") rep on rep.doc_id = d.doc_id\n"
+        "join (" + _SQL_UNIT_DEDUP + ") ud on ud.doc_id = d.doc_id\n"
     )
     sql["token_count_bpe"] = r"""
         select doc_id,

@@ -891,6 +891,45 @@ class NativePipeline:
             _add_col(cols, "gopher_rep_pass", "boolean")
         return t
 
+    def _c_unit_dedup(self, body, cols):
+        """Cross-doc unit-level exact dedup (ops/unitdedup.py —
+        RefinedWeb/Dolma paragraph dedup): rewrites ``column`` with every
+        later exact duplicate paragraph/line/sentence removed (first
+        occurrence by (doc_id, pos) wins) and annotates n_units/n_kept;
+        ``replace: false`` keeps the original text and adds
+        ``cleaned_text`` instead. Batch-only: the corpus-wide first-seen
+        winner is a global aggregation."""
+        unit = body.get("unit", "paragraph")
+        min_len = int(body.get("min_len", 1))
+        col = body.get("column", "text")
+        idc = body.get("id_column", "doc_id")
+        replace = bool(body.get("replace", True))
+
+        def t(df):
+            if df.isStreaming:
+                raise RuntimeError(
+                    "unit_dedup is batch-only (corpus-wide first-seen"
+                    " winner per unit); for streams use the stateful"
+                    " dedupe processor on a unit hash instead"
+                )
+            from ..ops.unitdedup import unit_dedup
+
+            stats = unit_dedup(
+                df, unit=unit, min_len=min_len, text_col=col, id_col=idc
+            )
+            out = df.join(stats, idc)
+            if replace:
+                out = out.withColumn(col, F.col("cleaned_text")).drop(
+                    "cleaned_text"
+                )
+            return out
+
+        _add_col(cols, "n_units", "bigint")
+        _add_col(cols, "n_kept", "bigint")
+        if not replace:
+            _add_col(cols, "cleaned_text", "string")
+        return t
+
     def _c_decontaminate(self, body, cols):
         """Benchmark n-gram decontamination (ops/decontaminate.py): annotates
         every row with (n_ngrams, n_hit, hit_ratio, contaminated) against a

@@ -494,6 +494,22 @@ class TestRound4Chains:
         assert got.filter(~F.col("gopher_rep_pass")).count() == 0
         assert "dup_5gram_char_frac" in got.columns
 
+    def test_unit_dedup_stage(self, spark):
+        out = run_spec(spark, {
+            "input": {"inline": {"rows": [
+                [1, "alpha beta\n\ngamma delta"],
+                [2, "gamma delta\n\nfresh text"],
+            ], "schema": "doc_id long, text string"}},
+            "pipeline": {"processors": [
+                {"unit_dedup": {"unit": "paragraph"}},
+            ]},
+            "output": {"memory": {}},
+        })
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["text"] == "alpha beta\n\ngamma delta"
+        assert rows[2]["text"] == "fresh text"          # dup para removed
+        assert rows[2]["n_units"] == 2 and rows[2]["n_kept"] == 1
+
     def test_lint_accepts_gopher(self):
         assert lint_spec({
             "input": {"inline": {"rows": [[1, "x"]],
