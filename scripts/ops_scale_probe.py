@@ -158,6 +158,7 @@ def quality_probes(spark, n):
     from benthos_spark.ops.lmscore import bigram_lm_score
 
     from benthos_spark.ops.gopher import gopher_flags, gopher_repetition
+    from benthos_spark.ops.unitdedup import unit_dedup
 
     docs = _dup_docs(spark, n)
     return {
@@ -168,8 +169,15 @@ def quality_probes(spark, n):
         ),
         # one projection — the linearity floor for the family
         "gopher_flags": lambda: gopher_flags(docs),
-        # ~11 tagged occurrences/token through 2 hash aggs
+        # shuffle-free in-row sort-fold (v2; v1 explode+groupBy hit 0.67)
         "gopher_repetition": lambda: gopher_repetition(docs),
+        # explode -> packed-min winner -> join-back -> reassembly; the
+        # '. ' injection splits each doc into two sentences so both the
+        # drop path (linear dup structure) and reassembly are exercised
+        "unit_dedup_sentence": lambda: unit_dedup(
+            docs.withColumn("text", F.regexp_replace("text", " end$", ". end")),
+            unit="sentence", min_len=3,
+        ),
     }
 
 
