@@ -1488,15 +1488,36 @@ def q_json_ops_extract(spark, sf_dir):
 def q_sampling_strategies(spark, sf_dir):
     """Merges former queries stratified_sample (exact per-stratum draw) +
     hash_sample (deterministic hash-mod filter), union-tagged by method
-    (the hash half has no rank — NULL column)."""
+    (the hash half has no rank — NULL column).
+
+    r5 late: third leg `token_mix` — the Dolma/Pile-style TOKEN-BUDGET
+    SOURCE MIXER (ops/mixer.py): md5-priority admission per source until
+    the source's weight share of half the corpus tokens is reached
+    (driver row derives weights 1 + md5_60(source) % 5 so both engines
+    compute them without a config literal)."""
+    from benthos_spark.ops.mixer import mix_sources
+
+    pad = [
+        F.lit(None).cast("string").alias("grp"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("cum_tokens"),
+        F.lit(None).cast("double").alias("quota"),
+        F.lit(None).cast("boolean").alias("kept"),
+    ]
     s = q_stratified_sample(spark, sf_dir).select(
-        F.lit("stratified").alias("method"), "doc_id", "lang", "rk"
+        F.lit("stratified").alias("method"), "doc_id", "lang", "rk", *pad
     )
     h = q_hash_sample(spark, sf_dir).select(
         F.lit("hash_mod").alias("method"), "doc_id", "lang",
-        F.lit(None).cast("long").alias("rk"),
+        F.lit(None).cast("long").alias("rk"), *pad,
     )
-    return s.unionByName(h)
+    m = mix_sources(_t(spark, sf_dir, "documents"), frac=0.5).select(
+        F.lit("token_mix").alias("method"), "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("rk"),
+        F.col("group").alias("grp"), "n_tokens", "cum_tokens", "quota", "kept",
+    )
+    return s.unionByName(h).unionByName(m)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2643,11 +2664,43 @@ def oracle_sql() -> dict[str, str]:
         from ({sql.pop("json_extract")}) a
         join ({sql.pop("jmespath_extract")}) b using (event_id)
     """
+    # token-budget source mixer leg (ops/mixer.py twin): default md5-derived
+    # weights w = 1 + md5_60(source) % 5, budget = half the corpus tokens,
+    # admission = priority-ordered running sum starts under the 4-dp-rounded
+    # quota. NULL-padded to the merged schema like the hash leg.
+    mix_leg = (
+        "with mx0 as (select doc_id, coalesce(source, '') as grp,\n"
+        "  len(" + _sql_tokens("text") + ")::BIGINT as n_tokens,\n"
+        "  " + _SQL_MD5_60.format(c="'mix|' || doc_id::VARCHAR") + " as priority\n"
+        "  from documents),\n"
+        "mxg as (select grp, sum(n_tokens) as g_tokens,\n"
+        "  (1 + mod(" + _SQL_MD5_60.format(c="grp") + ", 5))::DOUBLE as w\n"
+        "  from mx0 group by grp),\n"
+        "mxs as (select (select 0.5 * sum(g_tokens) from mxg) as budget,\n"
+        "  (select sum(w) from mxg) as sumw),\n"
+        "mxq as (select grp, round(budget * w / sumw, 4) as quota from mxg, mxs),\n"
+        "mxr as (select doc_id, grp, n_tokens,\n"
+        "  sum(n_tokens) over (partition by grp order by priority, doc_id\n"
+        "    rows unbounded preceding) as cum_tokens from mx0)\n"
+        "select r.doc_id, r.grp, r.n_tokens, r.cum_tokens, q.quota,\n"
+        "  (r.cum_tokens - r.n_tokens) < q.quota as kept\n"
+        "from mxr r join mxq q using (grp)"
+    )
     sql["sampling_strategies"] = f"""
-        select 'stratified' as method, doc_id, lang, rk
+        select 'stratified' as method, doc_id, lang, rk,
+               NULL::VARCHAR as grp, NULL::BIGINT as n_tokens,
+               NULL::BIGINT as cum_tokens, NULL::DOUBLE as quota,
+               NULL::BOOLEAN as kept
         from ({sql.pop("stratified_sample")})
         union all
-        select 'hash_mod' as method, doc_id, lang, NULL::BIGINT as rk
+        select 'hash_mod' as method, doc_id, lang, NULL::BIGINT as rk,
+               NULL::VARCHAR as grp, NULL::BIGINT as n_tokens,
+               NULL::BIGINT as cum_tokens, NULL::DOUBLE as quota,
+               NULL::BOOLEAN as kept
         from ({sql.pop("hash_sample")})
+        union all
+        select 'token_mix' as method, doc_id, NULL::VARCHAR as lang,
+               NULL::BIGINT as rk, grp, n_tokens, cum_tokens, quota, kept
+        from ({mix_leg})
     """
     return sql

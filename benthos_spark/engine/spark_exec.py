@@ -891,6 +891,43 @@ class NativePipeline:
             _add_col(cols, "gopher_rep_pass", "boolean")
         return t
 
+    def _c_mix_sources(self, body, cols):
+        """Token-budget source mixing (ops/mixer.py, Dolma/Pile-style):
+        annotates every row with (n_tokens, cum_tokens, quota, kept) —
+        deterministic md5-priority admission per ``group_by`` source until
+        the source's ``weights`` share of ``frac`` × corpus tokens is
+        reached — optionally dropping non-admitted rows (``drop: true``).
+        Batch-only: quotas are corpus-wide aggregates."""
+        frac = float(body.get("frac", 0.5))
+        weights = body.get("weights")  # {source: weight}; None = derived
+        group_by = body.get("group_by", "source")
+        col = body.get("column", "text")
+        idc = body.get("id_column", "doc_id")
+        salt = str(body.get("salt", "mix"))
+        drop = bool(body.get("drop", False))
+
+        def t(df):
+            if df.isStreaming:
+                raise RuntimeError(
+                    "mix_sources is batch-only (corpus-wide token quotas);"
+                    " run it over the materialized table"
+                )
+            from ..ops.mixer import mix_sources
+
+            stats = mix_sources(
+                df, frac=frac, weights=weights, group_col=group_by,
+                text_col=col, id_col=idc, salt=salt,
+            ).select(idc, "n_tokens", "cum_tokens", "quota", "kept")
+            out = df.join(stats, idc)
+            if drop:
+                out = out.filter(F.col("kept"))
+            return out
+
+        for c, dt in (("n_tokens", "bigint"), ("cum_tokens", "bigint"),
+                      ("quota", "double"), ("kept", "boolean")):
+            _add_col(cols, c, dt)
+        return t
+
     def _c_unit_dedup(self, body, cols):
         """Cross-doc unit-level exact dedup (ops/unitdedup.py —
         RefinedWeb/Dolma paragraph dedup): rewrites ``column`` with every

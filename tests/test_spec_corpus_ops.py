@@ -510,6 +510,24 @@ class TestRound4Chains:
         assert rows[2]["text"] == "fresh text"          # dup para removed
         assert rows[2]["n_units"] == 2 and rows[2]["n_kept"] == 1
 
+    def test_mix_sources_stage(self, spark):
+        rows = [[i, "a" if i < 4 else "b",
+                 " ".join(f"w{j}" for j in range(10))] for i in range(8)]
+        out = run_spec(spark, {
+            "input": {"inline": {"rows": rows,
+                                 "schema": "doc_id long, source string, text string"}},
+            "pipeline": {"processors": [
+                {"mix_sources": {"frac": 0.5, "weights": {"a": 3.0, "b": 1.0},
+                                 "drop": True}},
+            ]},
+            "output": {"memory": {}},
+        })
+        got = out.collect()
+        # quota_a = 30 tokens -> 3 docs; quota_b = 10 -> 1 doc
+        assert len(got) == 4
+        assert sum(1 for r in got if r["source"] == "a") == 3
+        assert all(r["kept"] for r in got)
+
     def test_lint_accepts_gopher(self):
         assert lint_spec({
             "input": {"inline": {"rows": [[1, "x"]],
