@@ -158,6 +158,7 @@ def quality_probes(spark, n):
     from benthos_spark.ops.lmscore import bigram_lm_score
 
     from benthos_spark.ops.gopher import gopher_flags, gopher_repetition
+    from benthos_spark.ops.mixer import mix_sources
     from benthos_spark.ops.unitdedup import unit_dedup
 
     docs = _dup_docs(spark, n)
@@ -177,6 +178,14 @@ def quality_probes(spark, n):
         "unit_dedup_sentence": lambda: unit_dedup(
             docs.withColumn("text", F.regexp_replace("text", " end$", ". end")),
             unit="sentence", min_len=3,
+        ),
+        # 1000 sources -> per-source window sort + broadcast quota join
+        "mix_sources": lambda: mix_sources(
+            docs.withColumn(
+                "source",
+                F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(1000))),
+            ),
+            frac=0.5,
         ),
     }
 
