@@ -178,13 +178,25 @@ def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def pixel_decoder(payload: bytes) -> dict:
     """A real pixel-level decoder for ``ops.multimodal.set_decoder``:
-    PNG and BMP payloads get true dims from the decoded pixel array,
-    animated GIFs additionally report their composed frame count
-    (formats/gifcodec.py); other formats fall back to header parsing
-    (dims only)."""
+    PNG, BMP and baseline JPEG payloads get true dims from the decoded
+    pixel array, animated GIFs additionally report their composed frame
+    count (formats/gifcodec.py); other formats fall back to header
+    parsing (dims only)."""
     from ..ops.multimodal import header_decode
 
     feats = header_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import DECODE_ERRORS as JPEG_ERRORS, decode_jpeg
+
+        try:
+            w, h, _c, _px = decode_jpeg(payload)
+        except JPEG_ERRORS:
+            return feats
+        feats.update(
+            {"decoder": "pixels", "format": "jpeg", "width": int(w),
+             "height": int(h)}
+        )
+        return feats
     if payload[:2] == b"BM":
         from .bmpcodec import DECODE_ERRORS as BMP_ERRORS, decode_bmp
 

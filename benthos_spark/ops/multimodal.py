@@ -5,11 +5,13 @@ by Arrow-batched ``mapInPandas`` kernels. The default decode step is a REAL
 pure-Python header parser (``formats/imagemeta.py``: PNG/JPEG/GIF/BMP/WEBP
 dimensions from the public container specs) plus generic byte features.
 PIXEL-level decode is real for PNG (``formats/pngcodec.py``: stdlib zlib +
-numpy unfilter — ``apply_resize`` runs decode->resize->re-encode end to
-end, and ``pngcodec.pixel_decoder`` plugs into ``set_decoder``); JPEG/
-video/audio pixel decode still requires a library not present here and
-stays pluggable via ``set_decoder`` (``decode_strict`` is the honest
-raising stub for it).
+numpy unfilter), BMP (``formats/bmpcodec.py``), animated GIF
+(``formats/gifcodec.py``: LZW + disposal composition) and baseline JPEG
+(``formats/jpegcodec.py``: numpy huffman+IDCT) — ``apply_resize`` runs
+decode->resize->re-encode end to end and ``pngcodec.pixel_decoder`` plugs
+all four into ``set_decoder``. Progressive JPEG and audio/video codecs
+still require a library not present here and stay pluggable via
+``set_decoder`` (``decode_strict`` is the honest raising stub for it).
 
 Design for 100 TB: media bytes never pass through a shuffle — featurization
 is a narrow map over the scan, and only the (small) feature struct flows
@@ -200,6 +202,10 @@ def apply_resize(
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..formats.bmpcodec import DECODE_ERRORS as BMP_ERRORS, decode_bmp
+        from ..formats.jpegcodec import (
+            DECODE_ERRORS as JPEG_ERRORS,
+            decode_jpeg,
+        )
         from ..formats.pngcodec import (
             DECODE_ERRORS,
             decode_png,
@@ -212,6 +218,11 @@ def apply_resize(
                 try:
                     return decode_bmp(payload)
                 except BMP_ERRORS:
+                    return None
+            if payload[:2] == b"\xff\xd8":
+                try:
+                    return decode_jpeg(payload)
+                except JPEG_ERRORS:
                     return None
             try:
                 return decode_png(payload)
@@ -234,10 +245,10 @@ def apply_resize(
                     else:
                         ow, oh = target_w, target_h
                     ow, oh = max(ow, 1), max(oh, 1)
-                    if (ow, oh) == (w, h) and bytes(payload)[:2] != b"BM":
+                    if (ow, oh) == (w, h) and bytes(payload)[:8] == b"\x89PNG\r\n\x1a\n":
                         # no-op skip, as resize_plan flags — PNG only; a
-                        # same-size BMP still re-encodes so out_png always
-                        # holds PNG bytes
+                        # same-size BMP/JPEG still re-encodes so out_png
+                        # always holds PNG bytes
                         out = bytes(payload)
                     else:
                         out = encode_png(resize_nearest(px, ow, oh))
