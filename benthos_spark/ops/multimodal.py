@@ -9,7 +9,9 @@ numpy unfilter), BMP (``formats/bmpcodec.py``), animated GIF
 (``formats/gifcodec.py``: LZW + disposal composition) and baseline JPEG
 (``formats/jpegcodec.py``: numpy huffman+IDCT) — ``apply_resize`` runs
 decode->resize->re-encode end to end and ``pngcodec.pixel_decoder`` plugs
-all four into ``set_decoder``. Progressive JPEG and audio/video codecs
+all four into ``set_decoder``. AUDIO decode is real for PCM WAV
+(``formats/wavcodec.py`` — ``apply_audio_chunk`` executes the chunk plan
+against real samples). Progressive JPEG and compressed audio/video codecs
 still require a library not present here and stay pluggable via
 ``set_decoder`` (``decode_strict`` is the honest raising stub for it).
 
@@ -323,6 +325,92 @@ def apply_frame_sample(
     return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
 
 
+def apply_audio_chunk(
+    df: DataFrame,
+    chunk_ms: int = 30_000,
+    binary_col: str = "payload",
+    id_col: str = "url",
+    batch_rows: int = 64,
+    reencode_wav: bool = False,
+) -> DataFrame:
+    """Execute audio chunking against REAL samples — the execution stage
+    behind :func:`audio_chunk_plan` (which stays the pure-Catalyst
+    scheduling step over claimed duration metadata). PCM WAV decodes via
+    the pure-Python codec (``formats/wavcodec.py``); each payload fans out
+    into ``chunk_ms`` windows with real per-chunk signal features (RMS,
+    peak, zero-crossing rate), optionally re-encoded as 16-bit PCM WAV.
+
+    Undecodable rows emit one row with NULL chunk fields rather than
+    vanishing, keeping per-media accounting exact. Arrow-batched
+    mapInPandas chunked to ``batch_rows``; audio bytes never shuffle — the
+    fan-out happens inside the partition that already holds the blob."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("duration_ms", T.IntegerType()),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("offset_ms", T.IntegerType()),
+            T.StructField("length_ms", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("zero_cross_rate", T.DoubleType()),
+            T.StructField("chunk_wav", T.BinaryType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..formats.wavcodec import DECODE_ERRORS, decode_wav, encode_wav
+
+        for pdf in it:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                rows = []
+                for mid, payload in zip(chunk[id_col], chunk[binary_col]):
+                    try:
+                        rate, ch, samples = decode_wav(bytes(payload))
+                    except DECODE_ERRORS:
+                        rows.append((str(mid),) + (None,) * 10)
+                        continue
+                    n = len(samples)
+                    dur_ms = int(round(n * 1000.0 / rate))
+                    frames_per = max(1, rate * chunk_ms // 1000)
+                    mono = samples.mean(axis=1)
+                    for ci, s0 in enumerate(range(0, max(n, 1), frames_per)):
+                        seg = mono[s0 : s0 + frames_per]
+                        m = len(seg)
+                        if m == 0:
+                            seg = np.zeros(1)
+                        zc = (
+                            int(np.count_nonzero(
+                                np.signbit(seg[1:]) != np.signbit(seg[:-1])))
+                            if m > 1 else 0
+                        )
+                        wav = (
+                            encode_wav(samples[s0 : s0 + frames_per], rate)
+                            if reencode_wav and m
+                            else None
+                        )
+                        rows.append(
+                            (
+                                str(mid), int(rate), int(ch), dur_ms, ci,
+                                int(round(s0 * 1000.0 / rate)),
+                                int(round(m * 1000.0 / rate)),
+                                float(np.sqrt(np.mean(seg**2))),
+                                float(np.abs(seg).max()),
+                                float(zc / (m - 1)) if m > 1 else 0.0,
+                                wav,
+                            )
+                        )
+                yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
+
+
 def audio_chunk_plan(
     df: DataFrame,
     chunk_ms: int = 30_000,
@@ -331,7 +419,8 @@ def audio_chunk_plan(
 ) -> DataFrame:
     """Audio chunking *plan*: one row per chunk with (offset_ms, length_ms)
     derived from claimed duration metadata — the fan-out that bounds decoder
-    memory per task. Chunk decode itself is the stubbed step."""
+    memory per task. :func:`apply_audio_chunk` is the execution stage
+    (real PCM WAV decode); compressed codecs stay pluggable."""
     n_chunks = F.ceil(F.col(duration_col) / F.lit(chunk_ms)).cast("int")
     return (
         df.select(
