@@ -1494,15 +1494,29 @@ def q_sampling_strategies(spark, sf_dir):
     SOURCE MIXER (ops/mixer.py): md5-priority admission per source until
     the source's weight share of half the corpus tokens is reached
     (driver row derives weights 1 + md5_60(source) % 5 so both engines
-    compute them without a config literal)."""
-    from benthos_spark.ops.mixer import mix_sources
+    compute them without a config literal).
 
+    r5 late 2: fourth leg `seq_pack` — SEQUENCE PACKING (ops/packer.py,
+    GPT-style concat-and-chunk): global running token count in doc_id
+    order (distributed two-phase cumsum, no single-task sort), each doc's
+    fixed-length-sequence span at seq_len=2048
+    (begin_seq/seq_offset/n_seqs; cum_tokens here is the GLOBAL cumsum,
+    vs the mixer leg's per-source one — method-tagged)."""
+    from benthos_spark.ops.mixer import mix_sources
+    from benthos_spark.ops.packer import pack_sequences
+
+    pack_pad = [
+        F.lit(None).cast("long").alias("begin_seq"),
+        F.lit(None).cast("long").alias("seq_offset"),
+        F.lit(None).cast("long").alias("n_seqs"),
+    ]
     pad = [
         F.lit(None).cast("string").alias("grp"),
         F.lit(None).cast("long").alias("n_tokens"),
         F.lit(None).cast("long").alias("cum_tokens"),
         F.lit(None).cast("double").alias("quota"),
         F.lit(None).cast("boolean").alias("kept"),
+        *pack_pad,
     ]
     s = q_stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("method"), "doc_id", "lang", "rk", *pad
@@ -1516,8 +1530,19 @@ def q_sampling_strategies(spark, sf_dir):
         F.lit(None).cast("string").alias("lang"),
         F.lit(None).cast("long").alias("rk"),
         F.col("group").alias("grp"), "n_tokens", "cum_tokens", "quota", "kept",
+        *pack_pad,
     )
-    return s.unionByName(h).unionByName(m)
+    p = pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048).select(
+        F.lit("seq_pack").alias("method"), "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("rk"),
+        F.lit(None).cast("string").alias("grp"),
+        "n_tokens", "cum_tokens",
+        F.lit(None).cast("double").alias("quota"),
+        F.lit(None).cast("boolean").alias("kept"),
+        "begin_seq", "seq_offset", "n_seqs",
+    )
+    return s.unionByName(h).unionByName(m).unionByName(p)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2686,21 +2711,47 @@ def oracle_sql() -> dict[str, str]:
         "  (r.cum_tokens - r.n_tokens) < q.quota as kept\n"
         "from mxr r join mxq q using (grp)"
     )
+    # sequence-packing leg (ops/packer.py twin): concat-and-chunk at
+    # seq_len=2048 — global inclusive running token sum in doc_id order,
+    # span math on the half-open token interval [cum - n_tokens, cum).
+    pack_leg = (
+        "with pk0 as (select doc_id,\n"
+        "  len(" + _sql_tokens("text") + ")::BIGINT as n_tokens from documents),\n"
+        "pkr as (select doc_id, n_tokens,\n"
+        "  sum(n_tokens) over (order by doc_id rows unbounded preceding)\n"
+        "    as cum from pk0 where n_tokens > 0)\n"
+        "select doc_id, n_tokens, cum::BIGINT as cum_tokens,\n"
+        "  ((cum - n_tokens) // 2048)::BIGINT as begin_seq,\n"
+        "  ((cum - n_tokens) % 2048)::BIGINT as seq_offset,\n"
+        "  (((cum - 1) // 2048) - ((cum - n_tokens) // 2048) + 1)::BIGINT\n"
+        "    as n_seqs\n"
+        "from pkr"
+    )
     sql["sampling_strategies"] = f"""
         select 'stratified' as method, doc_id, lang, rk,
                NULL::VARCHAR as grp, NULL::BIGINT as n_tokens,
                NULL::BIGINT as cum_tokens, NULL::DOUBLE as quota,
-               NULL::BOOLEAN as kept
+               NULL::BOOLEAN as kept, NULL::BIGINT as begin_seq,
+               NULL::BIGINT as seq_offset, NULL::BIGINT as n_seqs
         from ({sql.pop("stratified_sample")})
         union all
         select 'hash_mod' as method, doc_id, lang, NULL::BIGINT as rk,
                NULL::VARCHAR as grp, NULL::BIGINT as n_tokens,
                NULL::BIGINT as cum_tokens, NULL::DOUBLE as quota,
-               NULL::BOOLEAN as kept
+               NULL::BOOLEAN as kept, NULL::BIGINT as begin_seq,
+               NULL::BIGINT as seq_offset, NULL::BIGINT as n_seqs
         from ({sql.pop("hash_sample")})
         union all
         select 'token_mix' as method, doc_id, NULL::VARCHAR as lang,
-               NULL::BIGINT as rk, grp, n_tokens, cum_tokens, quota, kept
+               NULL::BIGINT as rk, grp, n_tokens, cum_tokens, quota, kept,
+               NULL::BIGINT as begin_seq, NULL::BIGINT as seq_offset,
+               NULL::BIGINT as n_seqs
         from ({mix_leg})
+        union all
+        select 'seq_pack' as method, doc_id, NULL::VARCHAR as lang,
+               NULL::BIGINT as rk, NULL::VARCHAR as grp, n_tokens,
+               cum_tokens, NULL::DOUBLE as quota, NULL::BOOLEAN as kept,
+               begin_seq, seq_offset, n_seqs
+        from ({pack_leg})
     """
     return sql

@@ -928,6 +928,51 @@ class NativePipeline:
             _add_col(cols, c, dt)
         return t
 
+    def _c_pack_sequences(self, body, cols):
+        """Sequence packing (ops/packer.py, GPT-style concat-and-chunk):
+        annotates every non-empty row with its fixed-length-sequence span
+        (begin_seq/end_seq/seq_offset/n_seqs) in deterministic id order;
+        ``explode: true`` emits the per-(seq_id, doc-slice) assignment
+        table instead. Batch-only: the global running token count is a
+        corpus-wide order."""
+        seq_len = int(body.get("seq_len", 2048))
+        col = body.get("column", "text")
+        idc = body.get("id_column", "doc_id")
+        explode = bool(body.get("explode", False))
+
+        def t(df):
+            if df.isStreaming:
+                raise RuntimeError(
+                    "pack_sequences is batch-only (global running token"
+                    " count); run it over the materialized table"
+                )
+            from ..ops.packer import pack_assignments, pack_sequences
+
+            spans = pack_sequences(
+                df, seq_len=seq_len, text_col=col, id_col=idc
+            )
+            if explode:
+                return pack_assignments(spans, seq_len=seq_len, id_col=idc)
+            return df.join(
+                spans.select(idc, "n_tokens", "cum_tokens", "begin_seq",
+                             "end_seq", "seq_offset", "n_seqs"),
+                idc,
+            )
+
+        if explode:
+            id_dtype = cols.get(idc) if isinstance(cols, dict) else None
+            cols.clear()
+            _add_col(cols, "seq_id", "bigint")
+            _add_col(cols, idc, id_dtype)
+            for c in ("offset_in_seq", "doc_offset", "len"):
+                _add_col(cols, c, "bigint")
+        else:
+            for c, dt in (("n_tokens", "bigint"), ("cum_tokens", "bigint"),
+                          ("begin_seq", "bigint"), ("end_seq", "bigint"),
+                          ("seq_offset", "bigint"), ("n_seqs", "bigint")):
+                _add_col(cols, c, dt)
+        return t
+
     def _c_unit_dedup(self, body, cols):
         """Cross-doc unit-level exact dedup (ops/unitdedup.py —
         RefinedWeb/Dolma paragraph dedup): rewrites ``column`` with every
