@@ -159,6 +159,7 @@ def quality_probes(spark, n):
 
     from benthos_spark.ops.gopher import gopher_flags, gopher_repetition
     from benthos_spark.ops.mixer import mix_sources
+    from benthos_spark.ops.packer import pack_assignments, pack_sequences
     from benthos_spark.ops.unitdedup import unit_dedup
 
     docs = _dup_docs(spark, n)
@@ -186,6 +187,12 @@ def quality_probes(spark, n):
                 F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(1000))),
             ),
             frac=0.5,
+        ),
+        # global running-sum spans (range exchange + K-row offset collect)
+        # and the per-sequence explode on top of them
+        "pack_sequences": lambda: pack_sequences(docs, seq_len=2048),
+        "pack_assignments": lambda: pack_assignments(
+            pack_sequences(docs, seq_len=2048), seq_len=2048
         ),
     }
 
