@@ -953,11 +953,13 @@ class NativePipeline:
             )
             if explode:
                 return pack_assignments(spans, seq_len=seq_len, id_col=idc)
-            return df.join(
-                spans.select(idc, "n_tokens", "cum_tokens", "begin_seq",
-                             "end_seq", "seq_offset", "n_seqs"),
-                idc,
-            )
+            span_cols = ["n_tokens", "cum_tokens", "begin_seq", "end_seq",
+                         "seq_offset", "n_seqs"]
+            # later stage wins on name collisions (withColumn semantics):
+            # e.g. after mix_sources, n_tokens is identical (same tokenizer)
+            # and cum_tokens becomes the GLOBAL packing cumsum
+            clash = [c for c in span_cols if c in df.columns]
+            return df.drop(*clash).join(spans.select(idc, *span_cols), idc)
 
         if explode:
             id_dtype = cols.get(idc) if isinstance(cols, dict) else None

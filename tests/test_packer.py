@@ -123,6 +123,27 @@ class TestPackSpecStage:
         assert sum(r["len"] for r in got) == 36
         assert set(r["seq_id"] for r in got) == {0, 1, 2}
 
+    def test_after_mix_sources_no_column_collision(self, spark):
+        # mix_sources already adds n_tokens/cum_tokens; the pack stage must
+        # overwrite them (later stage wins), not emit duplicate columns
+        rows = [[i, "a" if i < 4 else "b",
+                 " ".join(f"w{j}" for j in range(10))] for i in range(8)]
+        out = run_spec(spark, {
+            "input": {"inline": {"rows": rows,
+                                 "schema": "doc_id long, source string, text string"}},
+            "pipeline": {"processors": [
+                {"mix_sources": {"frac": 0.5, "weights": {"a": 3.0, "b": 1.0}}},
+                {"pack_sequences": {"seq_len": 16}},
+            ]},
+            "output": {"memory": {}},
+        })
+        assert len(out.columns) == len(set(out.columns))
+        got = sorted(out.collect(), key=lambda r: r["doc_id"])
+        # cum_tokens is now the GLOBAL packing cumsum (10 tokens per doc)
+        assert [r["cum_tokens"] for r in got] == [10 * (i + 1) for i in range(8)]
+        assert got[1]["begin_seq"] == 0 and got[1]["n_seqs"] == 2
+        assert "quota" in out.columns  # mixer's other columns survive
+
     def test_lint_accepts_pack(self):
         assert lint_spec({
             "input": {"inline": {"rows": [[1, "x"]],
