@@ -81,11 +81,13 @@ _fake_decode = header_decode
 
 
 def decode_strict(payload: bytes) -> dict:
-    """The honest stub for PIXEL-level decode: not available here."""
+    """The honest stub for codecs we do NOT implement (progressive JPEG,
+    compressed audio/video): raises instead of guessing."""
     raise NotImplementedError(
-        "pixel/audio decoding requires an imaging/audio library not present "
-        "in this environment; register one with set_decoder() — header "
-        "metadata extraction works without it (header_decode)"
+        "this codec requires a decoder library not present in this "
+        "environment; register one with set_decoder() — header metadata "
+        "extraction (header_decode) and the pure-Python PNG/BMP/GIF/"
+        "baseline-JPEG/PCM-WAV codecs (formats/*codec.py) work without it"
     )
 
 
