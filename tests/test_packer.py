@@ -144,6 +144,24 @@ class TestPackSpecStage:
         assert got[1]["begin_seq"] == 0 and got[1]["n_seqs"] == 2
         assert "quota" in out.columns  # mixer's other columns survive
 
+    def test_explode_custom_id_and_text_columns(self, spark):
+        # string ids + non-default column names through the spec stage
+        rows = [[f"u{i}", " ".join("w" for _ in range(9))] for i in range(4)]
+        out = run_spec(spark, {
+            "input": {"inline": {"rows": rows,
+                                 "schema": "url string, body string"}},
+            "pipeline": {"processors": [
+                {"pack_sequences": {"seq_len": 12, "explode": True,
+                                    "column": "body", "id_column": "url"}},
+            ]},
+            "output": {"memory": {}},
+        })
+        got = out.collect()
+        assert out.columns == ["seq_id", "url", "offset_in_seq",
+                               "doc_offset", "len"]
+        assert sum(r["len"] for r in got) == 36
+        assert {r["url"] for r in got} == {f"u{i}" for i in range(4)}
+
     def test_lint_accepts_pack(self):
         assert lint_spec({
             "input": {"inline": {"rows": [[1, "x"]],
