@@ -153,6 +153,15 @@ class Stream:
             return pages_file_stream(
                 self.spark, body["path"], body.get("max_files_per_trigger")
             )
+        if kind == "warc":
+            from ..streaming.source import read_warc
+
+            return read_warc(
+                self.spark,
+                body["path"],
+                stream=bool(body.get("stream", False)),
+                max_files_per_trigger=body.get("max_files_per_trigger"),
+            )
         if kind == "generate":
             from .. import fixtures
 
@@ -243,7 +252,7 @@ def run_spec(spark: SparkSession, spec: Union[str, Dict[str, Any]]) -> Optional[
     return Stream(spark, spec).run()
 
 
-_INPUT_KINDS = {"parquet", "file", "files", "kafka", "kafka_balanced", "stream", "generate", "inline"}
+_INPUT_KINDS = {"parquet", "file", "files", "kafka", "kafka_balanced", "stream", "generate", "inline", "warc"}
 _OUTPUT_KINDS = {"memory", "parquet", "sink", "kafka"}
 
 

@@ -72,6 +72,81 @@ def write_pages_input(
         ).parquet(path)
 
 
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    stream: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Read WARC archives (the actual Common Crawl container, ISO 28500 —
+    plain or per-record-gzip ``.warc.gz``) into the engine's page shape:
+    (url, warc_ts, html, text NULL, lang NULL, seq) — text extraction and
+    language ID are downstream stages (strip_html / lang_id), exactly as
+    with parquet input.
+
+    Files arrive whole through Spark's built-in ``binaryFile`` source (the
+    standard WARC-on-Spark layout: one task per archive, records exploded
+    inside the task via an Arrow-batched mapInPandas — record bytes never
+    shuffle). Memory contract: one WARC file per task in memory at once —
+    crawl archives are written ~1 GiB for exactly this reason; set
+    ``spark.sql.files.maxPartitionBytes`` has no effect here (binaryFile
+    is one-row-per-file), parallelism = number of archive files.
+    ``stream=True`` gives the Structured Streaming variant (new archives
+    land in the directory -> micro-batches; offsets in the checkpoint).
+
+    Undecodable/empty archives yield zero rows but a parse error in a
+    well-framed archive fails the task loudly (corrupt crawl data should
+    be quarantined upstream, not silently skipped). ``seq`` is the record
+    ordinal within its archive — with the archive path it forms the same
+    deterministic identity the parquet fixtures carry."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampNTZType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("warc_path", T.StringType()),
+            T.StructField("http_status", T.IntegerType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..formats.warc import warc_pages
+
+        for pdf in it:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                rows = []
+                for i, page in enumerate(warc_pages(bytes(content))):
+                    rows.append(
+                        (
+                            page["url"], page["warc_ts"], page["html"],
+                            None, None, i, str(fpath), page["status"],
+                        )
+                    )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    reader = spark.readStream if stream else spark.read
+    r = reader.format("binaryFile").option("pathGlobFilter", "*.warc*")
+    if stream:
+        # file-stream sources require an explicit schema; binaryFile's is fixed
+        r = r.schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = r.load(path).select("path", "content")
+    return files.mapInPandas(kernel, out_schema)
+
+
 def file_lines_input(
     spark: SparkSession,
     path: str,
