@@ -25,12 +25,26 @@ _TABLE_CACHE: dict = {}
 _CACHEABLE = {"documents", "events", "embeddings", "nation", "region"}
 
 
+# Hot tables whose heavy per-row work (tokenize/regex/md5/Arrow kernels)
+# happens BEFORE the first exchange: the sf* fixtures are single-file,
+# single-row-group parquets, so without an explicit spread every one of
+# those projections runs on ONE task regardless of cores (guide §2.5
+# "input skew: one huge unsplittable file ... repartition immediately
+# after the read"). Spread once, pay one tiny exchange at cache time,
+# and every consumer inherits full parallelism. Real inputs at scale
+# arrive multi-partition, so this is harness plumbing, not tuning: the
+# partition count follows defaultParallelism, never a constant.
+_SPREAD = {"documents", "events", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name not in _CACHEABLE:
         return df
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _TABLE_CACHE:
+        if name in _SPREAD:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
         _TABLE_CACHE[key] = df.cache()
     return _TABLE_CACHE[key]
 

@@ -34,6 +34,15 @@ def _make_blob(seed: int = 42, n_words: int = 700) -> str:
 
 
 _BLOB = _make_blob()
+# ASCII blob as a BINARY literal: substring() over a string literal walks
+# UTF-8 codepoints from the start of the 4.6 KB blob on EVERY row (~750 ns
+# measured at 20M rows), while the binary slice is a raw byte copy and
+# cast(binary as string) wraps the bytes without a walk. Byte-identical
+# output (the blob is pure ASCII; equality verified row-for-row in
+# tests/test_fixture_expr_equivalence.py) at ~20x less per-row cost —
+# the flagship's generation stage was the single largest line item in the
+# r6 profile (guide §1.2 step 2: per-task work).
+_BLOB_BYTES = _BLOB.encode()
 
 BASE_EPOCH = 1735689600  # 2025-01-01T00:00:00Z
 
@@ -82,7 +91,10 @@ def pages(
     max_len = 1950
     offset = F.pmod(F.xxhash64(base_id, F.lit(3), F.lit(seed)), F.lit(blob_len - max_len - 1)) + 1
     length = 50 + F.pmod(F.xxhash64(base_id, F.lit(8), F.lit(seed)), F.lit(max_len - 50))
-    text = F.substring(F.lit(_BLOB), offset, length)
+    # binary slice + cast, NOT substring on the string literal — identical
+    # bytes (ASCII blob), ~20x cheaper per row (see _BLOB_BYTES note)
+    text_bin = F.substring(F.lit(_BLOB_BYTES), offset, length)
+    text = text_bin.cast("string")
 
     u_late = _u01(id_, 4, seed)
     late_s = F.when(
@@ -102,10 +114,16 @@ def pages(
         F.lit("https://host-"),
         F.lpad(host_id.cast("string"), 4, "0"),
         F.lit(".example.com/page/"),
-        F.conv(base_id.cast("string"), 10, 16),
+        # hex(long) == conv(string, 10, 16) for non-negative ids (both emit
+        # uppercase, no leading zeros; row-for-row equality test-pinned) and
+        # skips conv's string->decimal parse
+        F.hex(base_id),
     )
-    html = F.encode(
-        F.concat(F.lit("<html><body><p>"), text, F.lit("</p></body></html>")), "utf-8"
+    # concat the BINARY pieces directly: byte-identical to
+    # encode(concat(string...), 'utf-8') for the ASCII payload, without
+    # re-materializing text as a string and re-encoding it
+    html = F.concat(
+        F.lit(b"<html><body><p>"), text_bin, F.lit(b"</p></body></html>")
     )
 
     return df.select(

@@ -276,36 +276,47 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
 
 def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2, **kw) -> DataFrame:
     """Near-dup pairs by simhash hamming distance; banded to avoid the full
-    cross product (two halves: a pair within distance d<=2 shares at least
-    one exact half — pigeonhole).
+    cross product (two halves: a pair within hamming <= max_hamming whose
+    differing bits all sit in ONE half shares the other exact half —
+    pigeonhole; pairs straddling both halves are outside this op's banded
+    contract, exactly as in the original half-key join).
 
-    Plan shape: the two halves stack into LONG form first, so there is ONE
-    self-join keyed (part, bkey) whose two sides have identical canonical
-    subplans — the exchange is computed once and REUSED, instead of the
-    earlier two-joins-per-half form that recomputed the whole
-    tokenize+fingerprint aggregation four times (4 scans, 0 reuse)."""
+    r6 plan shape (guide §2.4/§2.5 — the half-key self-join was quadratic
+    in bucket size and hot-bucket skewed: 8-bit keys over 50k docs meant
+    multi-thousand-row buckets, ~1e8 joined rows for a 6.8e7-row result,
+    plus a full distinct shuffle): an XOR-MASK equi-join on the FULL
+    fingerprint value instead. A qualifying pair's XOR is one of the
+    |masks| = 1 + 2*(C(h,1) + ... + C(h,max_hamming)) half-confined bit
+    patterns (73 at bits=16, d<=2), so probing id_b's fingerprint XOR each
+    mask against id_a's exact value enumerates every qualifying pair
+    EXACTLY ONCE (the matching mask is uniquely sim_a^sim_b) — no
+    overcount, so the old `.distinct()` exchange disappears outright, and
+    the fingerprint side broadcasts (2 longs/doc), so the probe side never
+    shuffles either."""
+    from itertools import combinations
+
     sh = simhash(docs, bits=bits, **kw)
     half = bits // 2
-    banded = sh.selectExpr(
-        "id",
-        "simhash",
-        f"stack(2, 0, simhash & {(1 << half) - 1}, "
-        f"1, shiftright(simhash, {half})) as (part, bkey)",
+    masks: set[int] = set()
+    for bitset in (range(half), range(half, bits)):
+        for r in range(0, max_hamming + 1):
+            for c in combinations(bitset, r):
+                masks.add(sum(1 << p for p in c))
+    mask_arr = F.array(*[F.lit(m) for m in sorted(masks)])
+    probe = sh.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b")
+    ).select(
+        "id_b", "sim_b", F.explode(mask_arr).alias("__mask")
+    ).select(
+        "id_b", "sim_b", F.col("sim_b").bitwiseXOR(F.col("__mask")).alias("probe_v")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.part") == F.col("b.part"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
+        probe.join(
+            F.broadcast(a),
+            (F.col("sim_a") == F.col("probe_v")) & (F.col("id_a") < F.col("id_b")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.alias("hamming"),
-        )
+        .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )

@@ -107,23 +107,40 @@ def semantic_dedup(
     the same k-means cell with exact cosine >= ``threshold`` (NULL for
     keepers) — the same greedy min-id keeper rule as the MinHash/SimHash
     family, so downstream policy composes uniformly."""
+    from .similarity import _bucket_candidate_kernel
+
     cents = centroids if centroids is not None else kmeans_fit(
         emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim, seed=seed
     )
     cells = assign_cells(emb, cents, id_col=id_col, vec_col=vec_col)
-    a = cells.select(
-        F.col("cell"), F.col(id_col).alias("__ia"), F.col(vec_col).alias("__va")
+    # r6 optimization (guide §2.3/§4.2): the per-cell quadratic pair space
+    # used to materialize through an equi-join on cell (O(sum cell^2) rows,
+    # each through an Arrow cosine). It now runs as per-cell BLAS inside
+    # the shared bucket-candidate kernel (conservative 1e-3 margin below
+    # the threshold); only near-threshold pairs become rows, and the
+    # authoritative score is STILL the identical _cos_pd + F.round below —
+    # anchors are byte-for-byte the pre-optimization ones (A/B-tested).
+    cand = (
+        cells.select(
+            F.col("cell").alias("band"),  # reuse the kernel's group shape
+            F.lit(0).alias("bucket"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+        )
+        .groupBy("band", "bucket")
+        .applyInPandas(
+            _bucket_candidate_kernel(threshold - 1e-3), "id_a long, id_b long"
+        )
     )
-    b = cells.select(
-        F.col("cell"), F.col(id_col).alias("__ib"), F.col(vec_col).alias("__vb")
-    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     partners = (
-        a.join(b, "cell")
-        .filter(F.col("__ia") < F.col("__ib"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", F.round(_cos_pd()(F.col("__va"), F.col("__vb")), 4))
         .filter(F.col("cos") >= threshold)
-        .groupBy("__ib")
-        .agg(F.min("__ia").alias("anchor"))
+        .groupBy(F.col("id_b").alias("__ib"))
+        .agg(F.min("id_a").alias("anchor"))
     )
     return (
         cells.join(partners, cells[id_col] == partners["__ib"], "left")

@@ -392,6 +392,87 @@ def derive_banding(
     return best
 
 
+def _bucket_candidate_kernel(margin_threshold: float, block: int = 8192):
+    """applyInPandas kernel over ONE (band, bucket) group: emit candidate
+    id pairs whose normalized-matmul cosine clears ``margin_threshold``
+    (the real threshold minus a safety margin). The authoritative score
+    and threshold comparison happen OUTSIDE, through the same
+    ``_cos_pd`` + ``F.round`` path the pair join always used, so this
+    kernel only has to be a SUPERSET filter — a 1e-3 margin is ~10
+    orders of magnitude wider than the worst-case float64 summation
+    disagreement between the two cosine formulations over 64 terms.
+
+    Why this exists (r6 optimization): the former plan materialized every
+    bucket collision as a row through a self-join -> distinct -> two
+    vector joins -> per-pair Arrow cosine. At 20k vectors / 32 bands
+    that is ~4.1e8 candidate rows through three exchanges for a 4.2e5-row
+    result. Here the quadratic part runs as per-bucket BLAS matmuls
+    (O(m^2 * dim) flops, no row materialization) and only pairs already
+    near the threshold ever become rows. Blocked at ``block`` rows so a
+    hot bucket holds at most block^2 doubles of score matrix."""
+    import numpy as np
+    import pandas as pd  # noqa: F811
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if n < 2:
+            return empty
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"].values])
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0.0] = np.nan  # zero vectors never pass (NaN compares false)
+        Mn = M / norms[:, None]
+        outs_a: list = []
+        outs_b: list = []
+        for i0 in range(0, n, block):
+            A = Mn[i0 : i0 + block]
+            for j0 in range(i0, n, block):
+                C = A @ Mn[j0 : j0 + block].T
+                ii, jj = np.nonzero(C >= margin_threshold)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj  # each unordered pair once (diagonal blocks overlap)
+                if not keep.any():
+                    continue
+                a_ids, b_ids = ids[gi[keep]], ids[gj[keep]]
+                outs_a.append(np.minimum(a_ids, b_ids))
+                outs_b.append(np.maximum(a_ids, b_ids))
+        if not outs_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+        )
+
+    return fn
+
+
+def banded_candidate_pairs(
+    emb: DataFrame,
+    threshold: float,
+    bands: int,
+    planes_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = 64,
+    seed: int = 42,
+    margin: float = 1e-3,
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs that share >= 1 (band, bucket)
+    AND whose cosine is within ``margin`` of ``threshold`` — a provable
+    superset of the pairs the exact re-rank keeps, at a fraction of the
+    old self-join's row volume. One shuffle (the groupBy on (band,
+    bucket) — the LSH bucketing key itself), then per-bucket BLAS."""
+    b = srp_band_buckets(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", dim, bands, planes_per_band, seed,
+    )
+    cand = b.groupBy("band", "bucket").applyInPandas(
+        _bucket_candidate_kernel(threshold - margin), "id_a long, id_b long"
+    )
+    return cand.distinct()
+
+
 def neardup_lsh_rerank(
     emb: DataFrame,
     threshold: float = 0.35,
@@ -425,22 +506,17 @@ def neardup_lsh_rerank(
         planes_per_band = (
             planes_per_band if planes_per_band is not None else d_planes
         )
-    b = srp_band_buckets(
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        "v", dim, bands, planes_per_band, seed,
-    )
-    l, r = b.alias("l"), b.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        # pair ids only through distinct: the dedup shuffle moves 2 longs per
-        # candidate, never vectors
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+    # r6 optimization (guide §2.3/§4.2): the quadratic bucket-collision
+    # space runs as per-bucket BLAS inside banded_candidate_pairs (a
+    # conservative margin below the threshold), instead of materializing
+    # every collision through self-join -> distinct -> vector joins ->
+    # per-pair Arrow cosine. Only near-threshold pairs become rows; the
+    # authoritative score is STILL the identical _cos_pd + F.round below,
+    # so emitted values and the pass/fail comparison are byte-for-byte
+    # the pre-optimization ones (equality A/B-tested at sf0.1 and sf1.0).
+    cand = banded_candidate_pairs(
+        emb, threshold, bands, planes_per_band,
+        id_col=id_col, vec_col=vec_col, dim=dim, seed=seed,
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

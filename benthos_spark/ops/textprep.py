@@ -66,6 +66,22 @@ def exploded_shingles(df, n: int, text_col: str = "text", id_col: str = "doc_id"
 MINHASH_LANES = 4  # 28-bit lanes (7 hex digits) per md5 digest
 
 
+_NORM_PYRE = None  # compiled lazily (keeps import light for executors)
+
+# The 4 hex-digit lanes of minhash_wide, re-read straight from digest()
+# bytes (r6 optimization — hexdigest() + string slice + int(x, 16) per
+# lane was ~2x the kernel cost): hex digit i of hexdigest() is nibble i
+# of digest(), so lane L (hex chars 7L .. 7L+6) is a 28-bit slice of the
+# big-endian byte string. Equality with the hexdigest formula is pinned
+# by tests/test_ops.py::test_minhash_lane_extraction_equivalence.
+_LANE_EXTRACT = (
+    lambda d: int.from_bytes(d[0:4], "big") >> 4,          # nibbles 0..6
+    lambda d: int.from_bytes(d[3:7], "big") & 0xFFFFFFF,   # nibbles 7..13
+    lambda d: int.from_bytes(d[7:11], "big") >> 4,         # nibbles 14..20
+    lambda d: int.from_bytes(d[10:14], "big") & 0xFFFFFFF, # nibbles 21..27
+)
+
+
 def py_minhash_signature(text, k: int, n: int) -> list | None:
     """Pure-Python k-lane minhash signature of one document — the EXACT
     formula of :func:`benthos_spark.ops.dedup.minhash_wide` (and its DuckDB
@@ -77,23 +93,26 @@ def py_minhash_signature(text, k: int, n: int) -> list | None:
     import hashlib
     import re as _re2
 
-    norm = _re2.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+    global _NORM_PYRE
+    if _NORM_PYRE is None:
+        _NORM_PYRE = _re2.compile(r"[^a-z0-9]+")
+    norm = _NORM_PYRE.sub(" ", (text or "").lower()).strip()
     toks = norm.split(" ") if norm else []
     if len(toks) < n:
         return None
-    shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    shingle_bytes = {
+        " ".join(toks[i : i + n]).encode() for i in range(len(toks) - n + 1)
+    }
     n_salts = (k + MINHASH_LANES - 1) // MINHASH_LANES
+    md5 = hashlib.md5
     sig = [None] * k
-    for s in shingles:
-        digests = [
-            hashlib.md5(f"{salt}|{s}".encode()).hexdigest()
-            for salt in range(n_salts)
-        ]
-        for h in range(k):
-            salt, lane = divmod(h, MINHASH_LANES)
-            v = int(digests[salt][7 * lane : 7 * lane + 7], 16)
-            if sig[h] is None or v < sig[h]:
-                sig[h] = v
+    for salt in range(n_salts):
+        pre = b"%d|" % salt
+        digests = [md5(pre + sb).digest() for sb in shingle_bytes]
+        base = salt * MINHASH_LANES
+        for lane in range(min(MINHASH_LANES, k - base)):
+            ex = _LANE_EXTRACT[lane]
+            sig[base + lane] = min(map(ex, digests))
     return sig
 
 

@@ -516,3 +516,57 @@ class TestLshSelectivityRegime:
         planted = {(j, 100 + j) for j in range(25)}
         found = planted & pairs
         assert len(found) >= 24, f"recall {len(found)}/25"
+
+
+def test_minhash_lane_extraction_equivalence():
+    """r6: py_minhash_signature reads lanes from digest() bytes; pin the
+    byte-slice arithmetic to the original hexdigest-slice formula."""
+    import hashlib
+
+    from benthos_spark.ops.textprep import _LANE_EXTRACT
+
+    for s in (b"hello", b"0|a b c", b"3|lorem ipsum", b"", b"\x00\xff"):
+        h = hashlib.md5(s)
+        hx, db = h.hexdigest(), h.digest()
+        for lane, ex in enumerate(_LANE_EXTRACT):
+            assert ex(db) == int(hx[7 * lane : 7 * lane + 7], 16), (s, lane)
+
+
+def test_minhash_signature_matches_naive_formula():
+    """r6: the optimized kernel equals the straightforward spec text."""
+    import hashlib
+    import re
+
+    from benthos_spark.ops.textprep import MINHASH_LANES, py_minhash_signature
+
+    def naive(text, k, n):
+        norm = re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+        toks = norm.split(" ") if norm else []
+        if len(toks) < n:
+            return None
+        sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        sig = [None] * k
+        for s in sh:
+            digests = [
+                hashlib.md5(f"{salt}|{s}".encode()).hexdigest()
+                for salt in range((k + MINHASH_LANES - 1) // MINHASH_LANES)
+            ]
+            for hh in range(k):
+                salt, lane = divmod(hh, MINHASH_LANES)
+                v = int(digests[salt][7 * lane : 7 * lane + 7], 16)
+                if sig[hh] is None or v < sig[hh]:
+                    sig[hh] = v
+        return sig
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "lorem ipsum DOLOR sit amet, consectetur!!",
+        "a b",
+        "",
+        None,
+        "one-token",
+        "x " * 200 + "tail words here",
+    ]
+    for t in texts:
+        for k, n in ((16, 3), (16, 2), (6, 2), (4, 3)):
+            assert py_minhash_signature(t, k, n) == naive(t, k, n), (t, k, n)
