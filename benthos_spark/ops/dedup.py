@@ -274,7 +274,13 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str
     return tok.groupBy("id").agg(*aggs).select("id", fingerprint)
 
 
-def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2, **kw) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 2,
+    precomputed=None,
+    **kw,
+) -> DataFrame:
     """Near-dup pairs by simhash hamming distance; banded to avoid the full
     cross product (two halves: a pair within hamming <= max_hamming whose
     differing bits all sit in ONE half shares the other exact half —
@@ -292,10 +298,14 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2, **kw) -
     EXACTLY ONCE (the matching mask is uniquely sim_a^sim_b) — no
     overcount, so the old `.distinct()` exchange disappears outright, and
     the fingerprint side broadcasts (2 longs/doc), so the probe side never
-    shuffles either."""
+    shuffles either.
+
+    ``precomputed`` takes an already-materialized (id, simhash) frame (e.g.
+    a localCheckpoint shared with a values leg) so composite queries don't
+    recompute the tokenize+fingerprint aggregation per consumer."""
     from itertools import combinations
 
-    sh = simhash(docs, bits=bits, **kw)
+    sh = precomputed if precomputed is not None else simhash(docs, bits=bits, **kw)
     half = bits // 2
     masks: set[int] = set()
     for bitset in (range(half), range(half, bits)):

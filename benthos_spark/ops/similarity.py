@@ -253,11 +253,10 @@ def ivf_centroids(dim: int, n_centroids: int = 16, seed: int = 7) -> list:
     return cents
 
 
-def _ivf_score_structs(vec, cents):
-    """Array of struct(score, mcid, cid) per centroid: score = cosine to the
-    centroid rounded to 6 decimals (both engines round, so ulp-order noise
-    cannot flip a comparison), mcid = -cid so struct-max tie-breaks to the
-    LOWEST cid exactly like the oracle's ORDER BY score DESC, cid ASC."""
+def _ivf_score_structs_column(vec, cents):
+    """Column-tree form of :func:`_ivf_score_structs` (the original
+    construction) — kept as the fallback for callers that pass a complex
+    Column expression rather than a plain column name."""
     import math
 
     nv = _norm(vec)
@@ -275,6 +274,72 @@ def _ivf_score_structs(vec, cents):
             F.struct(score.alias("score"), F.lit(-i).alias("mcid"), F.lit(i).alias("cid"))
         )
     return F.array(*outs)
+
+
+def _ivf_score_structs_sql(vec_name: str, cents) -> str:
+    """SQL text of the SAME expression tree _ivf_score_structs_column
+    builds: identical HOF fold shapes (zip_with + sequential aggregate,
+    transform + aggregate for the norm), identical literals (repr() strings
+    round-trip doubles exactly through the SQL parser), identical round-6.
+    Emitting one expr string instead of ~2 * k * dim py4j Column calls cuts
+    the DataFrame CONSTRUCTION cost of every IVF/k-means query from
+    seconds to milliseconds (r6 profile: q_ann_ivf spent 4-6 s per call
+    building this tree through py4j before a single task ran — guide §1
+    'empirical': the time was driver-side, not in any stage)."""
+    import math
+
+    norm_sql = (
+        f"sqrt(aggregate(transform({vec_name},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    parts = []
+    for i, c in enumerate(cents):
+        arr = ", ".join(f"{w!r}D" for w in c)
+        dot = (
+            f"aggregate(zip_with({vec_name}, array({arr}),"
+            " (x, y) -> CAST(x AS DOUBLE) * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        nc = repr(math.sqrt(sum(x * x for x in c)))
+        score = f"round({dot} / ({norm_sql} * {nc}D), 6)"
+        parts.append(
+            f"named_struct('score', {score}, 'mcid', {-i}, 'cid', {i})"
+        )
+    return "array(" + ", ".join(parts) + ")"
+
+
+_IDENT_RE = None
+
+
+def _ivf_score_structs(vec, cents):
+    """Array of struct(score, mcid, cid) per centroid: score = cosine to the
+    centroid rounded to 6 decimals (both engines round, so ulp-order noise
+    cannot flip a comparison), mcid = -cid so struct-max tie-breaks to the
+    LOWEST cid exactly like the oracle's ORDER BY score DESC, cid ASC.
+
+    ``vec`` may be a plain column name (str) or a Column; simple named
+    columns take the F.expr fast path (one py4j call instead of thousands —
+    value-identical, equality test-pinned), anything else falls back to the
+    original Column-tree construction."""
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+
+        _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    name = None
+    if isinstance(vec, str):
+        name = vec
+    else:
+        try:  # unresolved attribute prints as its bare name
+            s = str(vec._jc.toString())  # noqa: SLF001
+            if _IDENT_RE.match(s):
+                name = s
+        except Exception:  # noqa: BLE001 — fall back to Column construction
+            name = None
+    if name is None:
+        return _ivf_score_structs_column(vec, cents)
+    return F.expr(_ivf_score_structs_sql(name, cents))
 
 
 def ann_topk_ivf(

@@ -570,3 +570,30 @@ def test_minhash_signature_matches_naive_formula():
     for t in texts:
         for k, n in ((16, 3), (16, 2), (6, 2), (4, 3)):
             assert py_minhash_signature(t, k, n) == naive(t, k, n), (t, k, n)
+
+
+def test_ivf_score_structs_sql_equals_column_form(spark):
+    """r6: the F.expr fast path of _ivf_score_structs must be
+    value-identical to the original Column-tree construction (exact
+    comparison of every rounded score/struct)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from benthos_spark.ops.similarity import (
+        _ivf_score_structs,
+        _ivf_score_structs_column,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        + "/embeddings.parquet"
+    )
+    cents = ivf_centroids(64, 16, seed=7)
+    new = _ivf_score_structs(F.col("embedding"), cents)
+    old = _ivf_score_structs_column(F.col("embedding"), cents)
+    assert emb.select((new != old).alias("neq")).filter("neq").count() == 0
+    # a non-trivial Column expression must take the fallback and stay valid
+    fb = _ivf_score_structs(F.transform(F.col("embedding"), lambda x: x * 2), cents[:2])
+    assert emb.select(fb.alias("s")).limit(1).count() == 1
