@@ -957,7 +957,13 @@ class NativePipeline:
                          "seq_offset", "n_seqs"]
             # later stage wins on name collisions (withColumn semantics):
             # e.g. after mix_sources, n_tokens is identical (same tokenizer)
-            # and cum_tokens becomes the GLOBAL packing cumsum
+            # and cum_tokens becomes the GLOBAL packing cumsum.
+            # DOCUMENTED BEHAVIOR (r6, ADVICE): this inner join DROPS
+            # zero-token documents from annotate-mode output — they occupy
+            # no packed span, so they have no span row to attach. This is
+            # the one annotate stage where rows can vanish; pinned by
+            # tests/test_packer.py::test_pack_annotate_drops_zero_token_docs
+            # and left as-is because the registered oracle encodes it.
             clash = [c for c in span_cols if c in df.columns]
             return df.drop(*clash).join(spans.select(idc, *span_cols), idc)
 

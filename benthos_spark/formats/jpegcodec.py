@@ -507,6 +507,11 @@ def decode_jpeg(b: bytes) -> Tuple[int, int, int, np.ndarray]:
     while i + 4 <= n:
         if b[i] != 0xFF:
             raise ValueError("bad marker alignment")
+        # T.81 B.1.1.2: optional 0xFF fill bytes may precede any marker —
+        # real-world encoders emit them, so skip runs of 0xFF before
+        # reading the marker byte (r6, ADVICE fix)
+        while i + 1 < n and b[i + 1] == 0xFF:
+            i += 1
         marker = b[i + 1]
         i += 2
         if marker == 0xD9:  # EOI
@@ -624,7 +629,14 @@ def _decode_scan(
                                 raise ValueError("AC index out of range")
                             zz[k] = _extend(r.read_bits(size), size)
                             k += 1
-                        coeffs = (zz * q)[UNZIGZAG].reshape(8, 8).astype(np.float64)
+                        # un-zigzag FIRST, then dequantize: q is stored in
+                        # natural order (DQT parse does nat[ZIGZAG] = vals),
+                        # so zz (zigzag order) must be reordered before the
+                        # multiply — (zz * q)[UNZIGZAG] paired zigzag coeff
+                        # i with natural quant entry i, scaling every AC
+                        # coefficient by the wrong table cell (r6 ADVICE
+                        # fix; high-frequency roundtrip test pins it)
+                        coeffs = (zz[UNZIGZAG] * q).reshape(8, 8).astype(np.float64)
                         blk = _C.T @ coeffs @ _C + 128.0
                         y0 = (my * sv + by) * 8
                         x0 = (mx * sh + bx) * 8

@@ -94,9 +94,12 @@ def read_warc(
     ``stream=True`` gives the Structured Streaming variant (new archives
     land in the directory -> micro-batches; offsets in the checkpoint).
 
-    Undecodable/empty archives yield zero rows but a parse error in a
-    well-framed archive fails the task loudly (corrupt crawl data should
-    be quarantined upstream, not silently skipped). ``seq`` is the record
+    EMPTY archives (zero bytes) yield zero rows; ANY unparseable file —
+    non-WARC bytes, truncated records, a stray temp file matched by the
+    ``*.warc*`` glob — fails the whole task loudly (corrupt crawl data
+    should be quarantined upstream, not silently skipped; r6 ADVICE fix:
+    the old wording claimed undecodable archives also yielded zero rows,
+    which the kernel never did). ``seq`` is the record
     ordinal within its archive — with the archive path it forms the same
     deterministic identity the parquet fixtures carry."""
     from typing import Iterator

@@ -165,3 +165,53 @@ class TestMultimodalWiring:
         small = img[::4, ::4]  # nearest-neighbour reference
         assert np.abs(px.astype(float) - small).mean() < 8.0
         assert out["bad"]["out_png"] is None  # NULL passthrough
+
+
+def test_high_frequency_stripes_roundtrip():
+    """r6 ADVICE fix: dequantization must un-zigzag BEFORE multiplying by
+    the natural-order quant table. Smooth gradients can't catch the
+    ordering bug (their energy sits where zigzag ~= identity), so pin a
+    2px vertical-stripe image: maxerr was ~39 with the zigzag/natural
+    mispairing, <= 8 when paired correctly."""
+    import numpy as np
+
+    from benthos_spark.formats.jpegcodec import decode_jpeg, encode_jpeg
+
+    h = w = 32
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, (np.arange(w) // 2) % 2 == 0] = 230
+    px[:, (np.arange(w) // 2) % 2 == 1] = 30
+    data = encode_jpeg(px, quality=90)
+    dw, dh, dc, out = decode_jpeg(data)
+    assert (dw, dh, dc) == (w, h, 3)
+    maxerr = int(np.abs(out.astype(int) - px.astype(int)).max())
+    assert maxerr <= 8, f"high-frequency roundtrip maxerr {maxerr}"
+
+
+def test_seeded_noise_roundtrip_bounded():
+    import numpy as np
+
+    from benthos_spark.formats.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(24, 24, 3), dtype=np.uint8).astype(np.uint8)
+    data = encode_jpeg(px, quality=95)
+    _, _, _, out = decode_jpeg(data)
+    meanerr = float(np.abs(out.astype(int) - px.astype(int)).mean())
+    assert meanerr < 12.0, f"noise roundtrip mean err {meanerr}"
+
+
+def test_fill_bytes_before_marker_accepted():
+    """T.81 B.1.1.2: optional 0xFF fill bytes before a marker must not
+    fail the decode (r6 ADVICE fix)."""
+    import numpy as np
+
+    from benthos_spark.formats.jpegcodec import decode_jpeg, encode_jpeg
+
+    px = np.full((16, 16, 1), 128, dtype=np.uint8)
+    data = encode_jpeg(px, quality=90)
+    # inject a fill byte before the first post-SOI marker
+    assert data[2] == 0xFF
+    padded = data[:2] + b"\xff" + data[2:]
+    w, h, c, out = decode_jpeg(padded)
+    assert (w, h, c) == (16, 16, 1)

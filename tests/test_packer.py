@@ -186,3 +186,22 @@ class TestPackSpecStage:
                               columns={"doc_id": "bigint", "text": "string"})
         with pytest.raises(RuntimeError, match="batch-only"):
             pipe(stream).collect()
+
+
+@pytest.mark.spark
+def test_pack_annotate_drops_zero_token_docs(spark):
+    """r6 (ADVICE): pack_sequences annotate mode inner-joins span rows back
+    on the id, so ZERO-TOKEN documents are dropped from annotate output —
+    the one annotate stage where rows vanish. Pinned deliberately: the
+    registered oracle encodes this behavior, so it is documented (see
+    engine/spark_exec.py pack_sequences annotate note) rather than changed."""
+    from benthos_spark.engine.spark_exec import NativePipeline
+
+    df = _docs(spark, [4, 0, 6])
+    pipe = NativePipeline(
+        [{"pack_sequences": {"seq_len": 4}}],
+        columns={"doc_id": "bigint", "text": "string"},
+    )
+    out = pipe(df)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert ids == {0, 2}, ids  # doc 1 (zero tokens) is dropped, documented
