@@ -40,12 +40,29 @@ def pages_windowed_dedupe_agg(
     hash_key=True dedupes on xxhash64(url) instead of the url string — the
     reference's own ``dedupe.hash: xxhash`` mode (lib/processor/dedupe.go
     hash option): ~60% less shuffle/agg-key memory at billions of keys, at
-    the documented risk of 64-bit collisions."""
-    slim = (
-        df.withColumn("text_len", F.length("text"))
-        .filter(F.col("text_len") >= min_text_len)
-        .select("url", "warc_ts", "seq", "text_len")
-    )
+    the documented risk of 64-bit collisions.
+
+    Precomputed-length contract (r6): an input that already carries a
+    ``text_len`` column (== length(text); ingestion layouts routinely
+    materialize n_chars — the harness documents table does, and the pages
+    fixture now does, equality test-pinned) is trusted, skipping the
+    per-row re-count. Computing length() of a ~500-char string per row was
+    60% of flagship wall time at 20M rows — and because the length filter
+    sits below the projection, Catalyst's filter pushdown re-inlined the
+    expression and evaluated the substring+walk TWICE per surviving row
+    (the §4.4 duplicate-evaluation shape, with plain expressions). A
+    precomputed column is a plain attribute: one cheap comparison, no
+    double eval."""
+    if "text_len" in df.columns:
+        slim = df.filter(F.col("text_len") >= min_text_len).select(
+            "url", "warc_ts", "seq", "text_len"
+        )
+    else:
+        slim = (
+            df.withColumn("text_len", F.length("text"))
+            .filter(F.col("text_len") >= min_text_len)
+            .select("url", "warc_ts", "seq", "text_len")
+        )
     if df.isStreaming:
         deduped = (
             slim.withWatermark("warc_ts", watermark or "30 minutes")

@@ -7,6 +7,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _xms(mem: str) -> str:
+    """Initial heap: min(8g, -Xmx) so tiny test sessions stay valid."""
+    try:
+        if mem.lower().endswith("g") and int(mem[:-1]) > 8:
+            return "8g"
+    except ValueError:
+        pass
+    return mem
+
+
 def get_spark(
     app_name: str = "benthos_spark",
     master: str | None = None,
@@ -48,7 +58,18 @@ def get_spark(
         .config("spark.driver.memory", mem)
         # pre-size the heap: default tiny -Xms growing to -Xmx burns 25%+ of
         # CPU in kernel page-fault churn at high core counts (measured)
-        .config("spark.driver.extraJavaOptions", f"-Xms{mem}")
+        # Pre-size and pre-fault a working-set-sized initial heap: without
+        # it the first 20M-row queries in a fresh JVM spend 10-20 s
+        # page-faulting/zeroing freshly-grown heap INSIDE the timed region
+        # (measured rep progression [17.3, 26.4, 3.1, 3.1] s with lazy
+        # -Xms40g vs [9.6, 4.8, 3.1] with -Xms8g + AlwaysPreTouch; a full
+        # 40g pretouch costs 30-120 s of JVM startup, the wrong trade for
+        # short-lived test sessions). -Xmx stays at `mem` so heavy state /
+        # wide joins still have headroom; growth beyond 8g faults lazily.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{_xms(mem)} -XX:+AlwaysPreTouch",
+        )
         # NOTE: spark.sql.streaming.statefulOperator.checkCorrectness.enabled
         # stays at its default (true). Pipelines that chain stateful operators
         # in a shape Spark flags must opt out explicitly via extra_conf with a

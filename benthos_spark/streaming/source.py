@@ -15,7 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..fixtures import pages
 
-PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string, seq long"
+PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "seq long, text_len int"  # r6: fixture materializes length(text)
+)
 
 
 def pages_file_stream(

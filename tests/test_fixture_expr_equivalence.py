@@ -78,7 +78,9 @@ def test_pages_byte_identical_to_original_expressions(spark):
 
     new = pages(spark, N_ROWS, n_hosts=1000, rows_per_sec=100)
     old = _orig_pages(spark, N_ROWS, n_hosts=1000, rows_per_sec=100)
-    assert new.columns == old.columns
+    # r6: pages() additionally materializes text_len == length(text)
+    # (pinned by test_text_len_column_equals_length_of_text below)
+    assert new.columns == old.columns + ["text_len"]
     n = new.alias("n")
     o = old.alias("o")
     joined = n.join(o, F.col("n.seq") == F.col("o.seq"), "full_outer")
@@ -94,6 +96,33 @@ def test_pages_byte_identical_to_original_expressions(spark):
         | F.col("o.seq").isNull()
     ).count()
     assert mismatches == 0
+
+
+def test_text_len_column_equals_length_of_text(spark):
+    """The precomputed text_len column (arithmetic form) must equal
+    length(text) on every row — the pipeline's precomputed-length
+    contract rests on this."""
+    from benthos_spark.fixtures import pages
+
+    bad = (
+        pages(spark, N_ROWS, n_hosts=1000, rows_per_sec=100)
+        .filter(F.col("text_len") != F.length("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pipeline_precomputed_len_equals_recomputed(spark):
+    """pages_windowed_dedupe_agg over an input WITH text_len must equal the
+    same pipeline over the identical input WITHOUT it (length recomputed)."""
+    from benthos_spark.fixtures import pages
+    from benthos_spark.pipelines import pages_windowed_dedupe_agg
+
+    src = pages(spark, 50_000, n_hosts=100, rows_per_sec=100)
+    with_col = pages_windowed_dedupe_agg(src, hash_key=True)
+    without = pages_windowed_dedupe_agg(src.drop("text_len"), hash_key=True)
+    assert with_col.exceptAll(without).count() == 0
+    assert without.exceptAll(with_col).count() == 0
 
 
 def test_hex_equals_conv_for_nonnegative_longs(spark):

@@ -562,7 +562,7 @@ class TestChainedStatefulRestart:
             ).parquet(path)
 
         def sentinel(path):
-            row = [("http://flush.example/x", max_ts + timedelta(hours=6), None, "flush", "xx", 999999)]
+            row = [("http://flush.example/x", max_ts + timedelta(hours=6), None, "flush", "xx", 999999, 5)]
             spark.createDataFrame(row, schema).coalesce(1).write.mode("append").parquet(path)
 
         def run(in_dir, sink_dir, ckpt):
