@@ -961,10 +961,17 @@ def _neardup_staged_src(spark, sf_dir, docs):
     with_ts = docs.withColumn(
         "ts", F.timestamp_seconds(F.lit(base) + F.col("doc_id"))
     )
+    # r6: ONE far-future sentinel row/file instead of two (each extra file
+    # is a full micro-batch, and the per-batch stateful floor — RocksDB
+    # commits across the agg + join stores — was ~2-3 s even for a 1-row
+    # batch). The single sentinel advances the lagging watermark past every
+    # real window; availableNow's final no-data micro-batch then runs with
+    # that watermark and flushes the agg->join chain. Output equality with
+    # the two-sentinel staging is pinned at sf0.01 AND sf0.1
+    # (tests/test_streaming_neardup.py::test_single_sentinel_staging).
     sentinels = (
         spark.createDataFrame(
-            [(10**9 + 1, "watermark flush sentinel one"),
-             (10**9 + 2, "watermark flush sentinel two")],
+            [(10**9 + 2, "watermark flush sentinel")],
             "doc_id long, text string",
         )
         .withColumn(
@@ -986,8 +993,7 @@ def _neardup_staged_src(spark, sf_dir, docs):
     stages = [
         (with_ts, F.col("doc_id") <= F.lit(med)),
         (with_ts, F.col("doc_id") > F.lit(med)),
-        (sentinels, F.col("doc_id") == 10**9 + 1),
-        (sentinels, F.col("doc_id") == 10**9 + 2),
+        (sentinels, F.lit(True)),
     ]
     for i, (frame, pred) in enumerate(stages):
         tmp = tempfile.mkdtemp(prefix="bs_ndq_part_")
@@ -1008,9 +1014,10 @@ def q_streaming_neardup(spark, sf_dir):
     partitioning, zero Python in the stateful path; the
     applyInPandasWithState op remains as the semantics oracle in
     tests/test_streaming_neardup.py) -> exactly-once sink -> read-side
-    finalize. Two far-future sentinel files advance the lagging watermark
-    so every real window flushes during a data batch (append-mode
-    emission timing); finalize's documents join drops the sentinels.
+    finalize. One far-future sentinel file advances the lagging watermark
+    so every real window flushes (append-mode emission timing; the final
+    no-data micro-batch completes the agg->join chain); finalize's
+    documents join drops the sentinel.
     Oracle recomputes the identical k-lane formula in DuckDB and derives
     anchor = min earlier band partner per doc — the batch formulation of
     the same semantics."""

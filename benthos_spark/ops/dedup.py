@@ -171,9 +171,17 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: band key = the band's signature slice joined as
     a string, computed straight from the wide signature columns (no second
     aggregation); docs sharing any band key pair up. Output (id_a, id_b)
-    distinct, id_a < id_b. Every join is an equi-join on (band, band_key)."""
+    distinct, id_a < id_b. Every join is an equi-join on (band, band_key).
+
+    r6: the wide signature frame is localCheckpointed before the
+    self-join — both join sides re-executed the Arrow signature kernel
+    otherwise (2 MapInPandas nodes in the plan, the kernel being ~all of
+    the query's compute). Signatures are k longs per doc, the canonical
+    materialized working set of every MinHash pipeline at any scale."""
     r = k // bands
-    wide = minhash_wide(docs, k=k, n=n, text_col=text_col, id_col=id_col)
+    wide = minhash_wide(
+        docs, k=k, n=n, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     band = wide.select(
         "id",
         F.expr(
@@ -214,9 +222,14 @@ def neardup_anchor(
     LSH band, NULL for keepers. The batch statement of
     :func:`benthos_spark.streaming.neardup.streaming_neardup`'s in-order
     semantics (tests assert equality); plan is the band equi-join of
-    minhash_lsh_pairs plus one min-aggregation."""
+    minhash_lsh_pairs plus one min-aggregation.
+
+    r6: wide signatures localCheckpointed for the same reason as in
+    minhash_lsh_pairs (the self-join re-ran the Arrow kernel per side)."""
     r = k // bands
-    wide = minhash_wide(docs, k=k, n=n, text_col=text_col, id_col=id_col)
+    wide = minhash_wide(
+        docs, k=k, n=n, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     band = wide.select(
         "id",
         F.expr(
@@ -302,7 +315,16 @@ def simhash_pairs(
 
     ``precomputed`` takes an already-materialized (id, simhash) frame (e.g.
     a localCheckpoint shared with a values leg) so composite queries don't
-    recompute the tokenize+fingerprint aggregation per consumer."""
+    recompute the tokenize+fingerprint aggregation per consumer.
+
+    r6.2: ``hamming`` rides as a PLAN-TIME literal alongside each mask.
+    The join condition forces sim_a == sim_b XOR mask, hence
+    sim_a XOR sim_b == mask exactly, so bit_count(sim_a ^ sim_b) ==
+    bit_count(mask) — a constant known when the mask list is built. The
+    old form evaluated xor+bit_count per output row TWICE (the trailing
+    `hamming <= max_hamming` filter plus the projection — and that filter
+    is a no-op by construction, every mask having <= max_hamming bits);
+    at ~7e7 output rows both evaluations were pure waste."""
     from itertools import combinations
 
     sh = precomputed if precomputed is not None else simhash(docs, bits=bits, **kw)
@@ -312,21 +334,27 @@ def simhash_pairs(
         for r in range(0, max_hamming + 1):
             for c in combinations(bitset, r):
                 masks.add(sum(1 << p for p in c))
-    mask_arr = F.array(*[F.lit(m) for m in sorted(masks)])
+    assert all(bin(m).count("1") <= max_hamming for m in masks)
+    mask_arr = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("mk"),
+                F.lit(bin(m).count("1")).cast("int").alias("hm"),
+            )
+            for m in sorted(masks)
+        ]
+    )
     probe = sh.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("sim_b")
     ).select(
-        "id_b", "sim_b", F.explode(mask_arr).alias("__mask")
+        "id_b", "sim_b", F.explode(mask_arr).alias("__e")
     ).select(
-        "id_b", "sim_b", F.col("sim_b").bitwiseXOR(F.col("__mask")).alias("probe_v")
+        "id_b",
+        F.col("sim_b").bitwiseXOR(F.col("__e.mk")).alias("probe_v"),
+        F.col("__e.hm").alias("hamming"),
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"))
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        probe.join(
-            F.broadcast(a),
-            (F.col("sim_a") == F.col("probe_v")) & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return probe.join(
+        F.broadcast(a),
+        (F.col("sim_a") == F.col("probe_v")) & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b", "hamming")

@@ -427,3 +427,82 @@ class TestBuiltinVariant:
         # applyInPandasWithState
         assert "applyInPandasWithState" not in plan
         assert plan.lower().count("mapinpandas") <= 2  # the two wm branches
+
+
+class TestSentinelStaging:
+    def test_single_sentinel_staging(self, spark):
+        """r6: the registered query stages ONE far-future sentinel file;
+        output must equal the original TWO-sentinel staging (the lagging
+        watermark is advanced once; availableNow's final no-data batch
+        flushes the agg->join chain). Pins the optimization's equivalence
+        at the driver's correctness SF."""
+        import glob
+        import os
+
+        import __spark_entry__ as entry
+        from benthos_spark.streaming.neardup import streaming_neardup_jvm
+
+        sf_dir = "/root/testdata/sf0.01"
+        docs = entry._t(spark, sf_dir, "documents")
+
+        # reference: the pre-r6 two-sentinel staging, inline
+        med = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+        base = 1735689600
+        with_ts = docs.withColumn(
+            "ts", F.timestamp_seconds(F.lit(base) + F.col("doc_id"))
+        )
+        sentinels = (
+            spark.createDataFrame(
+                [(10**9 + 1, "watermark flush sentinel one"),
+                 (10**9 + 2, "watermark flush sentinel two")],
+                "doc_id long, text string",
+            )
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(base) + F.lit(30 * 86400) * (F.col("doc_id") - 10**9)
+                ),
+            )
+            .select(
+                *[
+                    F.col(c) if c in ("doc_id", "text", "ts")
+                    else F.lit(None).cast(t).alias(c)
+                    for c, t in with_ts.dtypes
+                ]
+            )
+        )
+        src = tempfile.mkdtemp(prefix="bs_nd2s_src_")
+        stages = [
+            (with_ts, F.col("doc_id") <= F.lit(med)),
+            (with_ts, F.col("doc_id") > F.lit(med)),
+            (sentinels, F.col("doc_id") == 10**9 + 1),
+            (sentinels, F.col("doc_id") == 10**9 + 2),
+        ]
+        for i, (frame, pred) in enumerate(stages):
+            tmp = tempfile.mkdtemp(prefix="bs_nd2s_part_")
+            frame.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = sorted(glob.glob(tmp + "/part-*.parquet"))[0]
+            shutil.copy(part, os.path.join(src, f"{i}_docs.parquet"))
+        stream = (
+            spark.readStream.schema(with_ts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        bands = minhash_band_rows(
+            stream.repartition(spark.sparkContext.defaultParallelism),
+            k=16, bands=4, n=2,
+        )
+        out = streaming_neardup_jvm(bands, watermark="1 hour")
+        sink = IdempotentSink(tempfile.mkdtemp(prefix="bs_nd2s_sink_"))
+        with entry._state_partitions(spark, 8):
+            run_to_sink(out, sink, tempfile.mkdtemp(prefix="bs_nd2s_ckpt_"))
+        ref = sorted(
+            (r["doc_id"], r["anchor"], r["is_keeper"])
+            for r in finalize_neardup(sink.read(spark), docs).collect()
+        )
+
+        got = sorted(
+            (r["doc_id"], r["anchor"], r["is_keeper"])
+            for r in entry.q_streaming_neardup(spark, sf_dir).collect()
+        )
+        assert got == ref
