@@ -1287,10 +1287,15 @@ class NativePipeline:
           path (streaming_neardup_jvm); ``window`` tunes agg granularity.
         - ``exact_py`` — the applyInPandasWithState reference op
           (running-min state; per-row emission without watermark flush).
-        - ``builtin`` — dropDuplicates keeper + join (first-arrived
-          anchor — see streaming_neardup_builtin's semantics caveat).
         Output is the append-mode (id, band, partner) stream — finalize on
-        the sink read-back with streaming.neardup.finalize_neardup."""
+        the sink read-back with streaming.neardup.finalize_neardup.
+
+        r6: ``builtin`` (dropDuplicates keeper + join, first-ARRIVED
+        anchor) is retired from the spec surface — superseded by ``jvm``,
+        which is equally all-JVM but min-id-exact under any partitioning;
+        exposing the order-dependent variant invited users to pick it for
+        one fewer window knob (r5 verdict #2). The function remains in
+        streaming/neardup.py (deprecated, test-only)."""
         k = int(body.get("k", 16))
         bands_n = int(body.get("bands", 4))
         n = int(body.get("n", 2))
@@ -1308,10 +1313,14 @@ class NativePipeline:
             # default). Falling through to jvm would silently change flush
             # semantics (windowed-agg emission vs per-row) — map it.
             impl = "exact_py"
-        if impl not in ("jvm", "exact_py", "builtin"):
+        if impl == "builtin":
             raise ValueError(
-                f"neardup impl {impl!r} not one of jvm/exact_py/builtin"
+                "neardup impl 'builtin' is deprecated (first-arrived anchor "
+                "is order-dependent); use 'jvm' — all-JVM and min-id-exact "
+                "under any partitioning"
             )
+        if impl not in ("jvm", "exact_py"):
+            raise ValueError(f"neardup impl {impl!r} not one of jvm/exact_py")
         lookback = body.get("lookback", "24 hours")
         agg_window = body.get("window", "6 hours")
 
@@ -1320,7 +1329,6 @@ class NativePipeline:
                 from ..streaming.neardup import (
                     minhash_band_rows,
                     streaming_neardup,
-                    streaming_neardup_builtin,
                     streaming_neardup_jvm,
                 )
 
@@ -1331,11 +1339,6 @@ class NativePipeline:
                 # band rows are normalized to BAND_SCHEMA: the timestamp
                 # column is always named "ts" downstream of the kernel,
                 # whatever the user's ts_col was.
-                if impl == "builtin":
-                    return streaming_neardup_builtin(
-                        rows, watermark=wm or "30 minutes",
-                        lookback=lookback, ts_col="ts",
-                    )
                 if impl == "exact_py":
                     return streaming_neardup(rows, watermark=wm, ts_col="ts")
                 return streaming_neardup_jvm(

@@ -235,7 +235,13 @@ def streaming_neardup_builtin(
     lookback: str = "24 hours",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """All-JVM variant of :func:`streaming_neardup` — no Python in the
+    """DEPRECATED (r6, test-only): superseded by
+    :func:`streaming_neardup_jvm`, which is equally all-JVM but
+    min-id-exact under ANY partitioning; this variant's keeper is the
+    bucket's first-ARRIVED row, an order-dependent answer. Not exposed by
+    the spec stage anymore (engine/_c_neardup rejects ``impl: builtin``).
+
+    All-JVM variant of :func:`streaming_neardup` — no Python in the
     stateful path, the 100 TB shape: ``dropDuplicates`` (built-in stateful
     dedupe) keeps the FIRST row per (band, band_key) bucket — in-order,
     that is the bucket's min id — and a stream-stream self-join attaches
