@@ -283,7 +283,28 @@ def lint_spec(spec: Union[str, Dict[str, Any]]) -> list:
     kind = next(iter(out_conf))
     if kind not in _OUTPUT_KINDS:
         errors.append(f"output: unknown kind {kind!r}")
+    # r6 (r5 verdict #5): batch-only corpus ops are rejected at LINT time
+    # for streaming specs — their semantics are corpus-wide aggregates
+    # (global token quotas / cross-doc first-seen state) with no bounded
+    # watermark formulation, so failing before any Spark session beats the
+    # runtime raise the engine already had.
+    stream_input = bool(in_conf) and (
+        next(iter(in_conf)) in ("stream", "kafka", "kafka_balanced")
+        or (
+            next(iter(in_conf)) == "warc"
+            and bool((in_conf.get("warc") or {}).get("stream", False))
+        )
+    )
+    _BATCH_ONLY = {"mix_sources", "unit_dedup"}
     for i, p in enumerate((spec.get("pipeline") or {}).get("processors", []) or []):
+        if stream_input and isinstance(p, dict) and p:
+            ptype = p.get("type") or next(iter(p))
+            if ptype in _BATCH_ONLY:
+                errors.append(
+                    f"pipeline.processors[{i}]: {ptype} is batch-only "
+                    "(corpus-wide aggregates); not valid in a streaming spec"
+                )
+                continue
         try:
             build_processor(p)
         except Exception as exc:

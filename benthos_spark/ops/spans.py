@@ -31,8 +31,11 @@ def _span_hashes(text_col: str, k: int):
     starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
         F.array().cast("array<int>")
     )
+    # r6: 16-byte digest BYTES, not the 32-char hexdigest — the hash is
+    # internal (only counts leave the op), so the shuffled key halves and
+    # the hex conversion disappears, at identical collision safety
     return F.transform(
-        starts, lambda i: F.md5(F.array_join(F.slice(toks, i, k), " "))
+        starts, lambda i: F.unhex(F.md5(F.array_join(F.slice(toks, i, k), " ")))
     )
 
 
@@ -41,15 +44,15 @@ def _span_hash_rows_arrow(
 ) -> DataFrame:
     """(id, h) span-hash rows via an Arrow-batched kernel — hashlib's C md5
     instead of interpreted collection lambdas (~12 us/span measured for the
-    HOF path vs ~2 us here); same formula byte-for-byte, NULL h for docs
-    shorter than k tokens (mirrors explode_outer)."""
+    HOF path vs ~2 us here); same digest, NULL h for docs shorter than
+    k tokens (mirrors explode_outer)."""
     import hashlib
 
     import pandas as pd
     from pyspark.sql import types as T
 
     schema = T.StructType(
-        [T.StructField("id", T.LongType()), T.StructField("h", T.StringType())]
+        [T.StructField("id", T.LongType()), T.StructField("h", T.BinaryType())]
     )
 
     def kernel(it):
@@ -61,7 +64,7 @@ def _span_hash_rows_arrow(
                     for i in range(len(toks) - k + 1):
                         ids.append(did)
                         hs.append(
-                            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+                            hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()
                         )
                 else:
                     ids.append(did)

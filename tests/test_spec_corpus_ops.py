@@ -559,3 +559,35 @@ class TestTrainingDataPipelineExample:
         assert back.filter(F.col("bits_per_bigram") > 12.0).count() == 0
         # partitioned-by-lang layout
         assert back.select("lang").distinct().count() == 5
+
+
+class TestBatchOnlyStreamingLint:
+    """r6 (r5 verdict #5): mix_sources / unit_dedup are corpus-wide-state
+    ops with no bounded streaming formulation — a streaming spec naming
+    them must fail at LINT time (no Spark session), not at runtime."""
+
+    def _spec(self, proc):
+        return {
+            "input": {"stream": {"path": "/tmp/in"}},
+            "pipeline": {"processors": [proc]},
+            "output": {"memory": {}},
+        }
+
+    def test_lint_rejects_mix_sources_in_streaming_spec(self):
+        errs = lint_spec(self._spec({"mix_sources": {"frac": 0.5}}))
+        assert any("mix_sources is batch-only" in e for e in errs)
+
+    def test_lint_rejects_unit_dedup_in_streaming_spec(self):
+        errs = lint_spec(self._spec({"unit_dedup": {"unit": "sentence"}}))
+        assert any("unit_dedup is batch-only" in e for e in errs)
+
+    def test_lint_accepts_both_in_batch_spec(self):
+        for proc in ({"mix_sources": {"frac": 0.5}},
+                     {"unit_dedup": {"unit": "sentence"}}):
+            spec = self._spec(proc)
+            spec["input"] = {"parquet": {"path": "/tmp/in"}}
+            assert lint_spec(spec) == []
+
+    def test_lint_accepts_streaming_safe_ops_in_streaming_spec(self):
+        errs = lint_spec(self._spec({"bloblang": "root = this"}))
+        assert errs == []
