@@ -161,6 +161,7 @@ class Stream:
                 body["path"],
                 stream=bool(body.get("stream", False)),
                 max_files_per_trigger=body.get("max_files_per_trigger"),
+                split_bytes=body.get("split_bytes"),
             )
         if kind == "generate":
             from .. import fixtures

@@ -39,23 +39,46 @@ DECODE_ERRORS = (ValueError, struct.error, IndexError, zlib.error, EOFError)
 _CRLF = b"\r\n"
 
 
-def _gunzip_members(b: bytes) -> bytes:
-    """Decompress ALL concatenated gzip members (Common Crawl writes one
-    member per record; stdlib gzip.decompress already handles multi-member
-    streams, but we go through zlib to surface trailing-garbage errors as
-    DECODE_ERRORS)."""
-    out = bytearray()
+_GZ_CHUNK = 1 << 20  # bounded feed per decompress call (see note below)
+
+
+def _iter_member_spans(b) -> Iterator[Tuple[int, int, bytes]]:
+    """(compressed_offset, compressed_length, decompressed_bytes) per gzip
+    member, feeding the decompressor BOUNDED chunks of a memoryview.
+
+    r6 scale fix: the old loop passed ``b[i:]`` — a copy of the whole
+    remaining archive — to EVERY member's decompressobj, making multi-
+    member decode O(members x archive_bytes): a 244 MiB / 3000-member
+    Common-Crawl-style archive implied ~700 GB of slicing and effectively
+    hung. Chunked feeding is linear and holds one member in memory."""
+    mv = memoryview(b)
     i = 0
     n = len(b)
     while i < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)  # gzip wrapper
-        out += d.decompress(b[i:])
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC stream")
-        consumed = n - i - len(d.unused_data)
-        if consumed <= 0:
+        out = bytearray()
+        start = i
+        while True:
+            if i >= n:
+                raise ValueError("truncated gzip member in WARC stream")
+            chunk = mv[i : i + _GZ_CHUNK]
+            out += d.decompress(chunk)
+            if d.eof:
+                i += len(chunk) - len(d.unused_data)
+                break
+            i += len(chunk)
+        if i <= start:
             raise ValueError("gzip member consumed no bytes")
-        i += consumed
+        yield start, i - start, bytes(out)
+
+
+def _gunzip_members(b: bytes) -> bytes:
+    """Decompress ALL concatenated gzip members (Common Crawl writes one
+    member per record); chunk-fed via _iter_member_spans — linear in
+    archive size regardless of member count."""
+    out = bytearray()
+    for _off, _clen, raw in _iter_member_spans(b):
+        out += raw
     return bytes(out)
 
 
@@ -174,6 +197,73 @@ def warc_pages(b: bytes) -> Iterator[dict]:
         except DECODE_ERRORS:
             status, body = None, payload
         yield {"url": url, "warc_ts": ts, "html": body, "status": status}
+
+
+def _iter_record_spans(b: bytes) -> Iterator[Tuple[int, int, bool]]:
+    """(offset, length, is_response) per record of a PLAIN warc byte
+    stream — framing walk only, payloads skipped via Content-Length."""
+    i = 0
+    n = len(b)
+    while i < n:
+        start = i
+        while i < n and b[i : i + 2] == _CRLF:
+            i += 2
+        if i >= n:
+            return
+        start = i
+        eol = b.find(_CRLF, i)
+        if eol < 0 or not b[i:eol].startswith(b"WARC/"):
+            raise ValueError("bad WARC framing in split index pass")
+        hdr_end = b.find(_CRLF + _CRLF, eol)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC header block")
+        headers = _parse_headers(b[eol + 2 : hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("missing/invalid Content-Length in WARC record")
+        end = hdr_end + 4 + length
+        if end > n:
+            raise ValueError("truncated WARC payload")
+        # consume the trailing CRLF CRLF into this record's span
+        while end < n and b[end : end + 2] == _CRLF:
+            end += 2
+        yield start, end - start, headers.get("warc-type") == "response"
+        i = end
+
+
+def plan_warc_splits(b: bytes, target_bytes: int) -> List[Tuple[int, int, int]]:
+    """r6 (r5 verdict ask #4): split plan for ONE archive —
+    ``[(offset, length, first_page_seq), ...]`` such that reading each
+    [offset, offset+length) slice independently and concatenating the
+    page streams reproduces ``warc_pages(b)`` exactly, seq ordinals
+    included. Splits align to gzip MEMBER boundaries for Common Crawl
+    style per-record-gzip archives (each member is its own deflate
+    stream, so a slice at a member boundary is itself a valid .warc.gz)
+    and to RECORD boundaries for plain archives. The index pass holds
+    one member in memory at a time; page ordinals are counted from the
+    record headers only."""
+    units: List[Tuple[int, int, int]] = []  # (off, len, n_pages_in_unit)
+    if b[:2] == b"\x1f\x8b":
+        for off, clen, raw in _iter_member_spans(b):
+            n_pages = sum(1 for _, _, is_resp in _iter_record_spans(raw) if is_resp)
+            units.append((off, clen, n_pages))
+    else:
+        for off, rlen, is_resp in _iter_record_spans(b):
+            units.append((off, rlen, 1 if is_resp else 0))
+    splits: List[Tuple[int, int, int]] = []
+    cur_off = cur_len = cur_seq = seq = 0
+    for off, ulen, n_pages in units:
+        if cur_len and cur_len + ulen > target_bytes:
+            splits.append((cur_off, cur_len, cur_seq))
+            cur_off, cur_len, cur_seq = off, 0, seq
+        if not cur_len:
+            cur_off, cur_seq = off, seq
+        cur_len = off + ulen - cur_off
+        seq += n_pages
+    if cur_len:
+        splits.append((cur_off, cur_len, cur_seq))
+    return splits
 
 
 def encode_warc(

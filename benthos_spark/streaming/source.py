@@ -80,6 +80,8 @@ def read_warc(
     path: str,
     stream: bool = False,
     max_files_per_trigger: int | None = None,
+    split_bytes: int | None = None,
+    emit_chunk_rows: int = 2048,
 ) -> DataFrame:
     """Read WARC archives (the actual Common Crawl container, ISO 28500 —
     plain or per-record-gzip ``.warc.gz``) into the engine's page shape:
@@ -96,6 +98,12 @@ def read_warc(
     is one-row-per-file), parallelism = number of archive files.
     ``stream=True`` gives the Structured Streaming variant (new archives
     land in the directory -> micro-batches; offsets in the checkpoint).
+    ``split_bytes=N`` (batch only, r6) splits each archive across tasks at
+    gzip-member/record boundaries in ~N-byte ranges — a two-pass plan
+    (index, then ranged reads) that keeps per-task memory at one range and
+    gives a few huge archives full-cluster parallelism; (warc_path, seq)
+    output identity is byte-identical to the unsplit path (test-pinned).
+    ``emit_chunk_rows`` caps the Arrow frame size either way.
 
     EMPTY archives (zero bytes) yield zero rows; ANY unparseable file —
     non-WARC bytes, truncated records, a stray temp file matched by the
@@ -137,8 +145,96 @@ def read_warc(
                             None, None, i, str(fpath), page["status"],
                         )
                     )
+                    # r6 (r5 verdict #4b): emit every N records instead of
+                    # one frame per archive — peak task memory follows the
+                    # chunk, not the archive's page count
+                    if len(rows) >= emit_chunk_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
+
+    if split_bytes:
+        # r6 (r5 verdict #4): SPLIT an archive across tasks. Pass 1
+        # indexes each archive's gzip-member/record boundaries into
+        # ~split_bytes ranges (formats/warc.plan_warc_splits — per-record
+        # gzip members are independent deflate streams, which is exactly
+        # what makes Common Crawl archives splittable); pass 2 reads each
+        # [offset, offset+length) slice independently, carrying the
+        # whole-file page ordinal so (warc_path, seq) identity is
+        # byte-identical to the unsplit path (test-pinned). Ranges are
+        # collected to the driver — one row per ~split_bytes of input, a
+        # bounded plan table. Ranged reads use local file APIs (the
+        # sandbox's storage); an object-store deployment would swap the
+        # open() for a ranged GET, the plan/kernel shape is unchanged.
+        if stream:
+            raise ValueError(
+                "split_bytes is a batch option (a stream admits whole "
+                "archives per trigger via maxFilesPerTrigger)"
+            )
+
+        def index_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..formats.warc import plan_warc_splits
+
+            for pdf in it:
+                for fpath, content in zip(pdf["path"], pdf["content"]):
+                    rows = [
+                        (str(fpath), off, ln, seq0)
+                        for off, ln, seq0 in plan_warc_splits(
+                            bytes(content), split_bytes
+                        )
+                    ]
+                    if rows:
+                        yield pd.DataFrame(
+                            rows, columns=["path", "off", "len", "seq0"]
+                        )
+
+        ranges = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.warc*")
+            .load(path)
+            .select("path", "content")
+            .mapInPandas(index_kernel, "path string, off long, len long, seq0 long")
+        ).collect()
+        n_part = max(1, min(len(ranges), spark.sparkContext.defaultParallelism * 2))
+        rdf = spark.createDataFrame(
+            ranges, "path string, off long, len long, seq0 long"
+        ).repartition(n_part)
+
+        def range_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from urllib.parse import unquote, urlparse
+
+            from ..formats.warc import warc_pages
+
+            for pdf in it:
+                for fpath, off, ln, seq0 in zip(
+                    pdf["path"], pdf["off"], pdf["len"], pdf["seq0"]
+                ):
+                    u = urlparse(str(fpath))
+                    local = unquote(u.path) if u.scheme in ("file", "") else None
+                    if local is None:
+                        raise ValueError(
+                            f"ranged WARC read needs a local path, got {fpath!r}"
+                        )
+                    with open(local, "rb") as fh:
+                        fh.seek(int(off))
+                        blob = fh.read(int(ln))
+                    rows = []
+                    for j, page in enumerate(warc_pages(blob)):
+                        rows.append(
+                            (
+                                page["url"], page["warc_ts"], page["html"],
+                                None, None, int(seq0) + j, str(fpath),
+                                page["status"],
+                            )
+                        )
+                        if len(rows) >= emit_chunk_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                    if rows:
+                        yield pd.DataFrame(rows, columns=cols)
+
+        return rdf.mapInPandas(range_kernel, out_schema)
 
     reader = spark.readStream if stream else spark.read
     r = reader.format("binaryFile").option("pathGlobFilter", "*.warc*")

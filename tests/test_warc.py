@@ -164,3 +164,63 @@ class TestSparkRead:
         rows = out.collect()
         assert len(rows) == 4
         assert sum(1 for r in rows if r["is_a"]) == 2
+
+
+class TestSplitRead:
+    """r6 (r5 verdict #4): split_bytes explodes one large archive across
+    tasks; output must be byte-identical to the whole-file path, including
+    (warc_path, seq) identity, for per-record-gzip AND plain archives."""
+
+    def _big_archive(self, tmp_path, gz, n_records=120, body_kb=24):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        recs = [{"type": "warcinfo", "payload": b"software: split-fixture\r\n"}]
+        for i in range(n_records):
+            t = "response" if i % 4 != 3 else "metadata"
+            recs.append({
+                "type": t,
+                "url": f"http://example.com/p/{i}",
+                "date": "2017-03-01T00:00:00Z",
+                "http_status": 200 if i % 5 else 404,
+                "body": rng.integers(32, 127, size=body_kb * 1024, dtype=np.uint8)
+                        .tobytes(),
+            })
+        d = tmp_path / f"bigwarc_{'gz' if gz else 'plain'}"
+        os.makedirs(d, exist_ok=True)
+        ext = "warc.gz" if gz else "warc"
+        (d / f"big-0.{ext}").write_bytes(encode_warc(recs, gzip_members=gz))
+        return str(d)
+
+    @pytest.mark.parametrize("gz", [True, False])
+    def test_split_equals_whole(self, spark, tmp_path, gz):
+        from pyspark.sql import functions as F
+
+        from benthos_spark.streaming.source import read_warc
+
+        src = self._big_archive(tmp_path, gz)
+        whole = read_warc(spark, src)
+        split = read_warc(spark, src, split_bytes=256 * 1024)
+
+        def key(rows):
+            return sorted(
+                (r["warc_path"].rsplit("/", 1)[-1], r["seq"], r["url"],
+                 bytes(r["html"]), r["http_status"], r["warc_ts"])
+                for r in rows
+            )
+
+        w = key(whole.collect())
+        s = key(split.collect())
+        assert len(w) > 0 and w == s
+        # the split path actually uses >1 task
+        nparts = (
+            split.select(F.spark_partition_id().alias("p")).distinct().count()
+        )
+        assert nparts > 1
+
+    def test_split_rejected_for_streams(self, spark, tmp_path):
+        from benthos_spark.streaming.source import read_warc
+
+        src = self._big_archive(tmp_path, gz=True, n_records=4, body_kb=1)
+        with pytest.raises(ValueError, match="split_bytes is a batch option"):
+            read_warc(spark, src, stream=True, split_bytes=1024)
