@@ -94,8 +94,16 @@ def dsir_model(
     # checkpoint blocks are ContextCleaner-freed once unreferenced.
     tc = tf.groupBy("b").agg(F.count(F.lit(1)).alias("tc")).localCheckpoint(eager=True)
     rc = rf.groupBy("b").agg(F.count(F.lit(1)).alias("rc")).localCheckpoint(eager=True)
-    n_t = tc.agg(F.sum("tc")).first()[0] or 0
-    n_r = rc.agg(F.sum("rc")).first()[0] or 0
+    # one action for both totals (r6): each blocking driver action costs a
+    # full job launch; the two frames are checkpointed and tiny, so union
+    totals = {
+        r["k"]: r["s"]
+        for r in tc.select(F.lit("t").alias("k"), F.col("tc").alias("v"))
+        .unionByName(rc.select(F.lit("r").alias("k"), F.col("rc").alias("v")))
+        .groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    n_t = totals.get("t", 0) or 0
+    n_r = totals.get("r", 0) or 0
     k_const = math.log(n_r + alpha * n_buckets) - math.log(n_t + alpha * n_buckets)
     model = tc.join(rc, "b", "full").select(
         "b",
