@@ -1506,7 +1506,7 @@ def q_simhash_family(spark, sf_dir):
     from benthos_spark.ops.dedup import simhash, simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    sh = simhash(docs, bits=16).localCheckpoint()
+    sh = simhash(docs, bits=16).localCheckpoint(eager=False)
     v = sh.select(
         F.lit("value").alias("part"),
         F.col("id").alias("id_a"),

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import struct
 from functools import lru_cache
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -169,11 +169,6 @@ def _huff_codes(bits: List[int], values: List[int]) -> Dict[int, Tuple[int, int]
             k += 1
         code <<= 1
     return out
-
-
-def _huff_decode_map(bits: List[int], values: List[int]) -> Dict[Tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, values).items()}
 
 
 def _quality_tables(quality: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -451,6 +446,12 @@ def _split_entropy_segments(data: bytes, pos: int) -> List[bytes]:
             segs.append(bytes(cur))
             cur = bytearray()
             i = j + 2
+        elif nxt == 0xFF:
+            # T.81 B.1.1.2 fill byte: 0xFF runs may pad before a marker
+            # (the old sync_restart skipped them when hunting the RST);
+            # drop ONE fill 0xFF and re-examine — data 0xFFs are always
+            # stuffed as FF00, so FF FF is never entropy data
+            i = j + 1
         else:
             break  # real marker: end of scan data
     segs.append(bytes(cur))
@@ -530,7 +531,7 @@ def decode_jpeg(b: bytes) -> Tuple[int, int, int, np.ndarray]:
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qt: Dict[int, np.ndarray] = {}
-    huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
+    huff: Dict[Tuple[int, int], Tuple[tuple, tuple]] = {}
     frame = None  # (h, w, comps) where comps = [(cid, sh, sv, tq)]
     restart_interval = 0
     i = 2

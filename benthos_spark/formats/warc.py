@@ -245,9 +245,19 @@ def plan_warc_splits(b: bytes, target_bytes: int) -> List[Tuple[int, int, int]]:
     record headers only."""
     units: List[Tuple[int, int, int]] = []  # (off, len, n_pages_in_unit)
     if b[:2] == b"\x1f\x8b":
-        for off, clen, raw in _iter_member_spans(b):
-            n_pages = sum(1 for _, _, is_resp in _iter_record_spans(raw) if is_resp)
-            units.append((off, clen, n_pages))
+        try:
+            for off, clen, raw in _iter_member_spans(b):
+                n_pages = sum(
+                    1 for _, _, is_resp in _iter_record_spans(raw) if is_resp
+                )
+                units.append((off, clen, n_pages))
+        except DECODE_ERRORS:
+            # members are not record-aligned (e.g. bgzip-style block
+            # recompression: records span members) — such an archive is
+            # readable but not splittable; fall back to ONE whole-file
+            # unit so read_warc(split_bytes=...) degrades to the unsplit
+            # behavior for this file instead of failing it
+            return [(0, len(b), 0)]
     else:
         for off, rlen, is_resp in _iter_record_spans(b):
             units.append((off, rlen, 1 if is_resp else 0))

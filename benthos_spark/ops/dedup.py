@@ -181,7 +181,7 @@ def minhash_lsh_pairs(
     r = k // bands
     wide = minhash_wide(
         docs, k=k, n=n, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: construction/explain stay job-free
     band = wide.select(
         "id",
         F.expr(
@@ -229,7 +229,7 @@ def neardup_anchor(
     r = k // bands
     wide = minhash_wide(
         docs, k=k, n=n, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: construction/explain stay job-free
     band = wide.select(
         "id",
         F.expr(

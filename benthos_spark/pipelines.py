@@ -46,7 +46,12 @@ def pages_windowed_dedupe_agg(
     ``text_len`` column (== length(text); ingestion layouts routinely
     materialize n_chars — the harness documents table does, and the pages
     fixture now does, equality test-pinned) is trusted, skipping the
-    per-row re-count. Computing length() of a ~500-char string per row was
+    per-row re-count. The column, when present, must be POPULATED — a NULL
+    text_len filters like an absent length (the row drops); reading a
+    pre-text_len parquet dir through the new PAGES_DDL would surface as
+    all-NULL, so legacy dirs must be read with the legacy 6-column schema
+    (they are all transient staging dirs in this repo). Computing
+    length() of a ~500-char string per row was
     60% of flagship wall time at 20M rows — and because the length filter
     sits below the projection, Catalyst's filter pushdown re-inlined the
     expression and evaluated the substring+walk TWICE per surviving row

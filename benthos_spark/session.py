@@ -8,11 +8,14 @@ from pyspark.sql import SparkSession
 
 
 def _xms(mem: str) -> str:
-    """Initial heap: min(8g, -Xmx) so tiny test sessions stay valid."""
+    """Initial heap: min(8g, -Xmx) so tiny test sessions stay valid
+    (parses g/m suffixes; anything unparseable passes through)."""
     try:
-        if mem.lower().endswith("g") and int(mem[:-1]) > 8:
+        v = mem.lower()
+        mb = int(v[:-1]) * (1024 if v.endswith("g") else 1) if v[-1] in "gm" else None
+        if mb is not None and mb > 8 * 1024:
             return "8g"
-    except ValueError:
+    except (ValueError, IndexError):
         pass
     return mem
 
@@ -56,8 +59,6 @@ def get_spark(
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", mem)
-        # pre-size the heap: default tiny -Xms growing to -Xmx burns 25%+ of
-        # CPU in kernel page-fault churn at high core counts (measured)
         # Pre-size and pre-fault a working-set-sized initial heap: without
         # it the first 20M-row queries in a fresh JVM spend 10-20 s
         # page-faulting/zeroing freshly-grown heap INSIDE the timed region

@@ -215,3 +215,25 @@ def test_fill_bytes_before_marker_accepted():
     padded = data[:2] + b"\xff" + data[2:]
     w, h, c, out = decode_jpeg(padded)
     assert (w, h, c) == (16, 16, 1)
+
+
+class TestFillBytes:
+    def test_fill_byte_before_restart_marker(self):
+        """T.81 B.1.1.2: 0xFF fill bytes may pad before ANY marker,
+        including RSTn inside the entropy stream (r6 review fix: the
+        segment splitter treated FF FF as scan end and lost the tail)."""
+        img = _gradient(32, 32)
+        good = encode_jpeg(img, quality=88, restart_interval=2)
+        ref_w, ref_h, ref_c, ref_px = decode_jpeg(good)
+        # inject one fill 0xFF before every RST marker in the scan
+        import re
+
+        sos = good.find(b"\xff\xda")
+        head, scan = good[:sos], good[sos:]
+        padded = head + re.sub(
+            b"\xff([\xd0-\xd7])", b"\xff\xff\\1", scan
+        )
+        assert padded != good
+        w, h, c, px = decode_jpeg(padded)
+        assert (w, h, c) == (ref_w, ref_h, ref_c)
+        assert (px == ref_px).all()

@@ -224,3 +224,38 @@ class TestSplitRead:
         src = self._big_archive(tmp_path, gz=True, n_records=4, body_kb=1)
         with pytest.raises(ValueError, match="split_bytes is a batch option"):
             read_warc(spark, src, stream=True, split_bytes=1024)
+
+
+class TestNonAlignedMembers:
+    def test_split_plan_falls_back_for_block_gzip(self):
+        """bgzip-style archives (gzip members NOT record-aligned) are
+        readable but not splittable: plan_warc_splits must fall back to
+        one whole-file unit instead of failing the read (r6 review fix)."""
+        import gzip as _gzip
+
+        from benthos_spark.formats.warc import plan_warc_splits
+
+        plain = _fixture(gz=False)
+        # recompress in fixed 256-byte blocks — members cut records apart
+        blocks = [
+            _gzip.compress(plain[i : i + 256]) for i in range(0, len(plain), 256)
+        ]
+        blob = b"".join(blocks)
+        assert len(list(warc_pages(blob))) == len(list(warc_pages(plain)))
+        splits = plan_warc_splits(blob, 512)
+        assert splits == [(0, len(blob), 0)]
+
+    def test_read_warc_split_on_block_gzip_dir(self, spark, tmp_path):
+        import gzip as _gzip
+
+        from benthos_spark.streaming.source import read_warc
+
+        plain = _fixture(gz=False)
+        blob = b"".join(
+            _gzip.compress(plain[i : i + 256]) for i in range(0, len(plain), 256)
+        )
+        d = tmp_path / "blockgz"
+        os.makedirs(d, exist_ok=True)
+        (d / "b.warc.gz").write_bytes(blob)
+        rows = read_warc(spark, str(d), split_bytes=512).collect()
+        assert len(rows) == 2  # degrades to whole-file read, not an error
