@@ -100,6 +100,13 @@ def duplicate_span_stats(
             F.col(id_col).alias("id"),
             F.explode_outer(_span_hashes(text_col, k)).alias("h"),
         )
+    # r6: the span frame feeds BOTH the cross-doc count agg and the
+    # join-back — without materialization the hashing kernel runs twice
+    # (2 MapInPandas nodes in the plan). (id, 16-byte hash) rows are the
+    # op's declared working set ("the span-hash table is the working set"
+    # — module docstring), so checkpointing them is the standard shape;
+    # lazy, so construction/explain stay job-free.
+    spans = spans.localCheckpoint(eager=False)
     # hashes seen in >1 distinct doc; only (h, id) pairs ever shuffle
     cross = (
         spans.where(F.col("h").isNotNull())
